@@ -16,6 +16,7 @@ import numpy as np
 
 from framedipt_tpu.diffusion import igso3
 from framedipt_tpu.geometry import so3
+from framedipt_tpu.geometry.quat import safe_norm
 from framedipt_tpu.tools.config import SO3Config
 
 
@@ -121,7 +122,9 @@ class SO3Diffuser:
         path evaluates the truncated series on-device (the reference default,
         so3_diffuser.py:397-402); the LUT path gathers precomputed norms.
         """
-        omega = jnp.linalg.norm(vec, axis=-1) + eps
+        # safe_norm: finite gradient at vec = 0 (fixed/masked residues have
+        # exactly-identity rotation deltas during training).
+        omega = safe_norm(vec) + eps
         sigma = self.discrete_sigma[self.t_to_idx(t)]
         # Broadcast a batched t ([B] vs omega [B, N]) over the residue dim.
         while sigma.ndim < omega.ndim:

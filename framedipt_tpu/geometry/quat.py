@@ -10,9 +10,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_norm(
+    x: jnp.ndarray, axis: int = -1, keepdims: bool = False, eps: float = 1e-20
+) -> jnp.ndarray:
+    """L2 norm with finite gradient at x = 0 (sqrt(sum + eps)).
+
+    jnp.linalg.norm has a NaN gradient at exactly zero; masked regions of the
+    score network hit zero vectors constantly, so every norm on a gradient
+    path must go through this."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Normalize quaternions to unit length along the last axis."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    return q / jnp.maximum(safe_norm(q, keepdims=True), eps)
 
 
 def multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +128,7 @@ def to_rotvec(q: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """
     flip = (q[..., :1] < 0).astype(q.dtype)
     q = -q * flip + (1.0 - flip) * q
-    angle = 2.0 * jnp.arctan2(jnp.linalg.norm(q[..., 1:], axis=-1), q[..., 0])
+    angle = 2.0 * jnp.arctan2(safe_norm(q[..., 1:]), q[..., 0])
     angle2 = angle * angle
     small_scale = 2.0 + angle2 / 12.0 + 7.0 * angle2 * angle2 / 2880.0
     large_scale = angle / jnp.sin(angle / 2.0 + eps)
@@ -128,7 +139,7 @@ def to_rotvec(q: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 def from_rotvec(v: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle rotation vector -> unit quaternion, small-angle safe."""
-    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    angle = safe_norm(v, keepdims=True)
     half = 0.5 * angle
     # sin(half)/angle with a series for tiny angles: 1/2 - angle^2/48.
     sin_half_over_angle = jnp.where(

@@ -1,0 +1,317 @@
+"""Invariant Point Attention trunk (flax.linen), designed for the TPU MXU.
+
+Behavioral contract mirrors the reference trunk
+(framedipt/model/ipa_pytorch.py): InvariantPointAttention with pair bias and
+down-projected pair output (:105-329), StructureModuleTransition (:36),
+EdgeTransition (:61), 2-layer post-norm sequence transformer (:433-443),
+BackboneUpdate (:386), TorsionAngles psi head (:332), and the per-block
+masked frame update via compose_q_update_vec gated by diffuse_mask
+(:542-547).
+
+TPU-first redesign of the hot op: the reference materializes the point
+displacement tensor [B, N, N, H, P, 3] (ipa_pytorch.py:258-273). Here the
+squared point distance is expanded as |q|^2 + |k|^2 - 2 q.k so the cross
+term is a batched [B*H, N, P*3] x [B*H, P*3, N] matmul on the MXU and the
+N^2 x H x P x 3 tensor never exists. Attention-weighted point outputs are
+likewise batched matmuls. All contractions accumulate in float32.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from framedipt_tpu.geometry.rigid import Rigid
+from framedipt_tpu.model.layers import IPA_POINT_WEIGHTS_INIT, Linear
+from framedipt_tpu.tools.config import IPAConfig, ModelConfig
+
+F32 = jnp.float32
+
+
+def _apply_frames(mats: jnp.ndarray, trans: jnp.ndarray, pts: jnp.ndarray):
+    """Apply per-residue frames [B,N,3,3]/[B,N,3] to points [B,N,P,3]."""
+    return (
+        jnp.einsum("bnij,bnpj->bnpi", mats, pts, preferred_element_type=F32)
+        + trans[:, :, None, :]
+    )
+
+
+def _invert_apply_frames(mats: jnp.ndarray, trans: jnp.ndarray, pts: jnp.ndarray):
+    """Apply inverse frames to points [B,N,P,3] (R^T (x - t))."""
+    return jnp.einsum(
+        "bnji,bnpj->bnpi", mats, pts - trans[:, :, None, :],
+        preferred_element_type=F32,
+    )
+
+
+def _points_from_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """[.., 3*P] -> [.., P, 3] with the reference's coordinate-major layout
+    (split into x/y/z thirds then stacked; ipa_pytorch.py:218-219)."""
+    return jnp.stack(jnp.split(x, 3, axis=-1), axis=-1)
+
+
+class InvariantPointAttention(nn.Module):
+    conf: IPAConfig
+    inf: float = 1e5
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(
+        self,
+        s: jnp.ndarray,  # [B, N, C_s]
+        z: jnp.ndarray,  # [B, N, N, C_z]
+        rigids: Rigid,  # [B, N] (translations in scaled units)
+        mask: jnp.ndarray,  # [B, N]
+    ) -> jnp.ndarray:
+        c = self.conf
+        H, C, Pq, Pv = c.no_heads, c.c_hidden, c.no_qk_points, c.no_v_points
+        B, N, _ = s.shape
+
+        mats = rigids.rot_mats()
+        trans = rigids.trans
+
+        # Scalar q/k/v.
+        q = Linear(H * C, name="linear_q")(s).reshape(B, N, H, C)
+        kv = Linear(2 * H * C, name="linear_kv")(s).reshape(B, N, H, 2 * C)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        # Point q/k/v, built in local frames then lifted to global.
+        q_pts = _points_from_linear(Linear(H * Pq * 3, name="linear_q_points")(s))
+        q_pts = _apply_frames(mats, trans, q_pts).reshape(B, N, H, Pq, 3)
+        kv_pts = _points_from_linear(
+            Linear(H * (Pq + Pv) * 3, name="linear_kv_points")(s)
+        )
+        kv_pts = _apply_frames(mats, trans, kv_pts).reshape(B, N, H, Pq + Pv, 3)
+        k_pts, v_pts = jnp.split(kv_pts, [Pq], axis=-2)
+
+        # Pair bias.
+        b = Linear(H, name="linear_b")(z)  # [B, N, N, H]
+
+        # Scalar logits: [B, H, N, N].
+        a = jnp.einsum("bihc,bjhc->bhij", q, k, preferred_element_type=F32)
+        a = a * np.sqrt(1.0 / (3 * C))
+        a = a + np.sqrt(1.0 / 3) * jnp.moveaxis(b, -1, 1)
+
+        # Point logits via squared-distance expansion (MXU matmul form).
+        head_weights = jax.nn.softplus(
+            self.param(
+                "head_weights",
+                lambda _, shape: jnp.full(shape, IPA_POINT_WEIGHTS_INIT),
+                (H,),
+            )
+        )
+        pt_scale = head_weights * np.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))  # [H]
+        sq_q = jnp.sum(q_pts**2, axis=(-1, -2))  # [B, N, H]
+        sq_k = jnp.sum(k_pts**2, axis=(-1, -2))  # [B, N, H]
+        qk_pts = jnp.einsum(
+            "bihpc,bjhpc->bhij", q_pts, k_pts, preferred_element_type=F32
+        )
+        sq_dist = (
+            jnp.moveaxis(sq_q, -1, 1)[..., :, None]
+            + jnp.moveaxis(sq_k, -1, 1)[..., None, :]
+            - 2.0 * qk_pts
+        )  # [B, H, N, N]
+        a = a + (-0.5) * pt_scale[None, :, None, None] * sq_dist
+
+        # Mask + softmax over keys.
+        square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
+        a = a + square_mask[:, None, :, :]
+        a = jax.nn.softmax(a, axis=-1)
+
+        # Scalar output.
+        o = jnp.einsum("bhij,bjhc->bihc", a, v, preferred_element_type=F32)
+        o = o.reshape(B, N, H * C)
+
+        # Point output: attention-weighted global points -> local frames.
+        o_pt = jnp.einsum(
+            "bhij,bjhpc->bihpc", a, v_pts, preferred_element_type=F32
+        )
+        o_pt = _invert_apply_frames(
+            mats, trans, o_pt.reshape(B, N, H * Pv, 3)
+        )  # [B, N, H*Pv, 3]
+        o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + self.eps)  # [B, N, H*Pv]
+
+        # Pair output through the down-projected pair rep.
+        pair_z = Linear(c.c_z // 4, name="down_z")(z)
+        o_pair = jnp.einsum(
+            "bhij,bijd->bihd", a, pair_z, preferred_element_type=F32
+        ).reshape(B, N, -1)
+
+        # Concat order matches the reference for weight-import parity:
+        # [o, o_pt.x, o_pt.y, o_pt.z, o_pt_norm, o_pair] (ipa_pytorch.py:324).
+        o_feats = jnp.concatenate(
+            [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
+            axis=-1,
+        )
+        return Linear(c.c_s, init="final", name="linear_out")(o_feats)
+
+
+class StructureModuleTransition(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray) -> jnp.ndarray:
+        s_init = s
+        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, init="final", name="linear_3")(s)
+        return nn.LayerNorm(name="ln")(s + s_init)
+
+
+class EdgeTransition(nn.Module):
+    node_embed_size: int
+    edge_embed_out: int
+    num_layers: int = 2
+    node_dilation: int = 2
+
+    @nn.compact
+    def __call__(self, node_embed: jnp.ndarray, edge_embed: jnp.ndarray):
+        bias_size = self.node_embed_size // self.node_dilation
+        node_bias = Linear(bias_size, init="relu", name="initial_embed")(node_embed)
+        B, N, _ = node_bias.shape
+        edge_bias = jnp.concatenate(
+            [
+                jnp.tile(node_bias[:, :, None, :], (1, 1, N, 1)),
+                jnp.tile(node_bias[:, None, :, :], (1, N, 1, 1)),
+            ],
+            axis=-1,
+        )
+        x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
+        y = x
+        for i in range(self.num_layers):
+            y = Linear(x.shape[-1], init="relu", name=f"trunk_{i}")(y)
+            y = jax.nn.relu(y)
+        x = Linear(self.edge_embed_out, init="final", name="final_layer")(y + x)
+        return nn.LayerNorm(name="layer_norm")(x)
+
+
+class SeqTransformerLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch TransformerEncoderLayer
+    semantics with norm_first=False, ReLU, no dropout — the reference's
+    sequence transformer, ipa_pytorch.py:433-443)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        Hd = D // self.num_heads
+        qkv = Linear(3 * D, init="glorot", name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, self.num_heads, Hd)
+        k = k.reshape(B, N, self.num_heads, Hd)
+        v = v.reshape(B, N, self.num_heads, Hd)
+        logits = jnp.einsum(
+            "bihd,bjhd->bhij", q, k, preferred_element_type=F32
+        ) / np.sqrt(Hd)
+        logits = logits + (pad_mask[:, None, None, :] - 1.0) * 1e9
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhij,bjhd->bihd", attn, v, preferred_element_type=F32
+        ).reshape(B, N, D)
+        out = Linear(D, name="out_proj")(out)
+        x = nn.LayerNorm(name="norm1")(x + out)
+        ff = Linear(D, name="ff_linear1")(x)
+        ff = jax.nn.relu(ff)
+        ff = Linear(D, name="ff_linear2")(ff)
+        return nn.LayerNorm(name="norm2")(x + ff)
+
+
+class TorsionAngles(nn.Module):
+    c: int
+    num_torsions: int = 1
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        s_init = s
+        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = jax.nn.relu(s)
+        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = s + s_init
+        unnormalized = Linear(
+            self.num_torsions * 2, init="final", name="linear_final"
+        )(s)
+        norm = jnp.sqrt(
+            jnp.maximum(
+                jnp.sum(unnormalized**2, axis=-1, keepdims=True), self.eps
+            )
+        )
+        return unnormalized, unnormalized / norm
+
+
+class IpaTrunk(nn.Module):
+    """The 4-block IPA trunk. Returns final (scaled) rigids, psi prediction,
+    and node embeddings. Score computation lives in ScoreNetwork where the
+    diffuser is in scope (cleaner separation than the reference, which
+    threads the diffuser into the trunk, ipa_pytorch.py:416-422)."""
+
+    conf: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        init_node_embed: jnp.ndarray,  # [B, N, C_s]
+        edge_embed: jnp.ndarray,  # [B, N, N, C_z]
+        rigids_t7: jnp.ndarray,  # [B, N, 7] (translations in Angstroms)
+        node_mask: jnp.ndarray,  # [B, N]
+        diffuse_mask: jnp.ndarray,  # [B, N]
+    ) -> dict[str, jnp.ndarray]:
+        ipa_conf = self.conf.ipa
+        edge_mask = node_mask[..., None] * node_mask[..., None, :]
+
+        curr = Rigid.from_tensor7(rigids_t7).scale_trans(ipa_conf.coordinate_scaling)
+        init_node_embed = init_node_embed * node_mask[..., None]
+        node_embed = init_node_embed
+
+        for b in range(ipa_conf.num_blocks):
+            ipa_embed = InvariantPointAttention(ipa_conf, name=f"ipa_{b}")(
+                node_embed, edge_embed, curr, node_mask
+            )
+            ipa_embed = ipa_embed * node_mask[..., None]
+            node_embed = nn.LayerNorm(name=f"ipa_ln_{b}")(node_embed + ipa_embed)
+
+            skip = Linear(ipa_conf.c_skip, init="final", name=f"skip_embed_{b}")(
+                init_node_embed
+            )
+            tfmr_in = jnp.concatenate([node_embed, skip], axis=-1)
+            tfmr_out = tfmr_in
+            for layer in range(ipa_conf.seq_tfmr_num_layers):
+                tfmr_out = SeqTransformerLayer(
+                    d_model=ipa_conf.c_s + ipa_conf.c_skip,
+                    num_heads=ipa_conf.seq_tfmr_num_heads,
+                    name=f"seq_tfmr_{b}_layer_{layer}",
+                )(tfmr_out, node_mask)
+            node_embed = node_embed + Linear(
+                ipa_conf.c_s, init="final", name=f"post_tfmr_{b}"
+            )(tfmr_out)
+            node_embed = StructureModuleTransition(
+                c=ipa_conf.c_s, name=f"node_transition_{b}"
+            )(node_embed)
+            node_embed = node_embed * node_mask[..., None]
+
+            rigid_update = Linear(6, init="final", name=f"bb_update_{b}")(
+                node_embed * diffuse_mask[..., None]
+            )
+            curr = curr.compose_q_update_vec(
+                rigid_update, update_mask=diffuse_mask[..., None]
+            )
+
+            if b < ipa_conf.num_blocks - 1:
+                edge_embed = EdgeTransition(
+                    node_embed_size=ipa_conf.c_s,
+                    edge_embed_out=self.conf.edge_embed_size,
+                    name=f"edge_transition_{b}",
+                )(node_embed, edge_embed)
+                edge_embed = edge_embed * edge_mask[..., None]
+
+        _, psi_pred = TorsionAngles(ipa_conf.c_s, 1, name="torsion_pred")(node_embed)
+        return {
+            "final_rigids_scaled_t7": curr.to_tensor7(),
+            "psi": psi_pred,
+            "node_embed": node_embed,
+        }
