@@ -24,9 +24,13 @@ from framedipt_tpu.data.protein import chain_id_to_int
 # --------------------------------------------------------------------------
 
 
-def chain_to_features(chain: MmcifChain, center: bool = True) -> dict[str, np.ndarray]:
+def chain_to_features(
+    chain: MmcifChain, center: bool = True, chain_int: int | None = None
+) -> dict[str, np.ndarray]:
     """Per-chain features with optional CA centering
-    (ref parse_chain_feats, data/utils.py:513-538)."""
+    (ref parse_chain_feats, data/utils.py:513-538). ``chain_int`` overrides
+    the chain id (used to re-letter chains in processing order, matching the
+    reference's preprocessing convention)."""
     bb_mask = chain.atom_mask[:, rc.CA_IDX]
     positions = chain.atom_positions.copy()
     if center:
@@ -42,7 +46,9 @@ def chain_to_features(chain: MmcifChain, center: bool = True) -> dict[str, np.nd
         "b_factors": chain.b_factors,
         "bb_mask": bb_mask,
         "chain_index": np.full(
-            len(chain.aatype), chain_id_to_int(chain.chain_id), np.int64
+            len(chain.aatype),
+            chain_id_to_int(chain.chain_id) if chain_int is None else chain_int,
+            np.int64,
         ),
     }
 
@@ -56,8 +62,12 @@ def structure_to_features(
     bounds per chain (the pickle layout of process_mmcif,
     framedipt/data/process_pdb_dataset.py:464-564)."""
     selected = chain_ids or sorted(mmcif_obj.chains)
+    # Re-letter chains in processing order (position i -> chain id i), the
+    # reference preprocessing convention that TCR masks rely on (chain A =
+    # first processed chain = TCR alpha).
     feats_list = [
-        chain_to_features(mmcif_obj.chains[cid], center=False) for cid in selected
+        chain_to_features(mmcif_obj.chains[cid], center=False, chain_int=i)
+        for i, cid in enumerate(selected)
     ]
     feats = concat_np_features(feats_list, add_batch_dim=False)
 
@@ -261,14 +271,17 @@ def pad_feats(
     return out
 
 
-def length_bucket(n: int, buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 384, 448, 512)) -> int:
+def length_bucket(
+    n: int, buckets: tuple[int, ...] = (64, 128, 192, 256, 320, 384, 448, 512)
+) -> int:
     """Smallest bucket >= n — static-shape padding for XLA (replaces the
     reference's exact-length padding, data/utils.py:447-466, which would
-    trigger one TPU compile per distinct protein length)."""
+    trigger one TPU compile per distinct protein length). Lengths beyond the
+    bucket table (large multi-chain complexes) round up to a multiple of 128."""
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"sequence length {n} exceeds the largest bucket {buckets[-1]}")
+    return ((n + 127) // 128) * 128
 
 
 def length_batching(

@@ -1,0 +1,367 @@
+"""Inference orchestration + CLI.
+
+Role of experiments/inference.py (Inference class :41-742): builds the
+diffuser/model from config + checkpoint (checkpoint model/diffuser config
+takes precedence, :126-159), constructs the sampler, and runs conditional
+(inpainting) or unconditional (de novo) sampling with the reference's
+filesystem contract: per-structure ``{pdb}_length_{L}/`` directories with a
+ground-truth PDB whose b-factors mark the diffusion region (=100),
+``diffusion_info.csv``, and per-sample ``sample_{i}/`` directories with
+``sample_{i}_1.pdb`` plus optional bb/x0 trajectory PDBs.
+
+Usage:
+    python -m framedipt_tpu.experiments.inference \
+        inference.weights_path=weights/inpainting.pth \
+        inference.output_dir=./out data.csv_path=... [key=value ...]
+"""
+from __future__ import annotations
+
+import pathlib
+import sys
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from framedipt_tpu.analysis import utils as analysis_utils
+from framedipt_tpu.data import constants as rc
+from framedipt_tpu.diffusion import SE3Diffuser
+from framedipt_tpu.experiments import utils as exp_utils
+from framedipt_tpu.experiments.samplers import (
+    ConditionalSampler,
+    TCRSampler,
+    UnconditionalSampler,
+)
+from framedipt_tpu.geometry import frames
+from framedipt_tpu.geometry.rigid import Rigid
+from framedipt_tpu.model import ScoreNetwork
+from framedipt_tpu.model.import_torch import convert_state_dict, load_torch_checkpoint
+from framedipt_tpu.sampling import build_inference_fn
+from framedipt_tpu.sampling.confidence import logp_confidence_score
+from framedipt_tpu.tools.config import Config, load_config, merge_checkpoint_config, save_config
+from framedipt_tpu.tools.log import get_logger
+
+logger = get_logger()
+
+
+class Inference:
+    def __init__(
+        self,
+        cfg: Config,
+        cif_dir: str | pathlib.Path | None = None,
+        params=None,
+    ) -> None:
+        self.raw_cfg = cfg
+        self._params = params
+        self._load_checkpoint()
+        self.cfg = self._cfg  # post-merge
+
+        out_base = pathlib.Path(self.cfg.inference.output_dir)
+        name = self.cfg.inference.name or datetime.now().strftime(
+            "%d_%m_%Y_%H_%M_%S"
+        )
+        self.output_dir = out_base / name
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        save_config(self.cfg, str(self.output_dir / "inference_conf.yaml"))
+
+        self.inpainting = self.cfg.inference.inpainting
+        self.model = ScoreNetwork(
+            self.cfg.model, self.diffuser, inpainting=self.inpainting
+        )
+        if self._params is None:
+            self._params = self._init_or_import_params()
+        self.cif_dir = pathlib.Path(cif_dir) if cif_dir else None
+        self.sampler = self._create_sampler()
+        self._run_cache: dict[tuple, object] = {}
+
+    # -- setup ------------------------------------------------------------------
+
+    def _load_checkpoint(self) -> None:
+        cfg = self.raw_cfg
+        self._ckpt_state_dict = None
+        weights_path = cfg.inference.weights_path
+        if weights_path and pathlib.Path(weights_path).exists():
+            state_dict, ckpt_conf = load_torch_checkpoint(weights_path)
+            self._ckpt_state_dict = state_dict
+            if ckpt_conf:
+                cfg = merge_checkpoint_config(cfg, ckpt_conf)
+                logger.info("merged model/diffuser config from checkpoint")
+        else:
+            if weights_path:
+                logger.warning(
+                    f"weights not found at {weights_path}; using random init"
+                )
+        self._cfg = cfg
+        self.diffuser = SE3Diffuser(cfg.diffuser)
+
+    def _init_or_import_params(self):
+        if self._ckpt_state_dict is not None:
+            params = convert_state_dict(
+                self._ckpt_state_dict,
+                num_blocks=self._cfg.model.ipa.num_blocks,
+                seq_tfmr_layers=self._cfg.model.ipa.seq_tfmr_num_layers,
+            )
+            logger.info("imported torch checkpoint weights")
+            return jax.tree_util.tree_map(jnp.asarray, params)
+        # Random init on a dummy batch (explicitly logged — results are
+        # only meaningful with real weights).
+        logger.warning("initializing model with RANDOM weights")
+        n = 32
+        dummy = {
+            "res_mask": jnp.ones((1, n)),
+            "fixed_mask": jnp.zeros((1, n)),
+            "seq_idx": jnp.arange(n)[None],
+            "t": jnp.ones((1,)),
+            "sc_ca_t": jnp.zeros((1, n, 3)),
+            "rigids_t": jnp.concatenate(
+                [
+                    jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (1, n, 1)),
+                    jnp.zeros((1, n, 3)),
+                ],
+                axis=-1,
+            ),
+            "torsion_angles_sin_cos": jnp.zeros((1, n, 7, 2)),
+            "aatype": jnp.zeros((1, n), jnp.int32),
+        }
+        return self.model.init(jax.random.PRNGKey(0), dummy)
+
+    def _create_sampler(self):
+        cfg = self.cfg
+        if not self.inpainting:
+            return UnconditionalSampler(cfg, self.diffuser, seed=cfg.inference.seed)
+        if self.cif_dir is None:
+            raise ValueError("conditional sampling requires cif_dir")
+        if cfg.inference.inpainting_samples.tcr:
+            csv_path = cfg.data.csv_path or "database/TCR.csv"
+            return TCRSampler(
+                cfg,
+                self.diffuser,
+                cif_dir=self.cif_dir,
+                csv_path=csv_path,
+                seed=cfg.inference.seed,
+            )
+        cif_paths = sorted(self.cif_dir.glob("*.cif"))
+        return ConditionalSampler(
+            cfg, self.diffuser, cif_paths, seed=cfg.inference.seed
+        )
+
+    def _get_run_fn(self):
+        """Build (and cache) the jitted sampler for the current config."""
+        key = (
+            self.cfg.inference.diffusion.num_t,
+            self.cfg.inference.diffusion.min_t,
+            self.cfg.inference.diffusion.noise_scale,
+            self.inpainting,
+        )
+        if key not in self._run_cache:
+            self._run_cache[key] = build_inference_fn(
+                self.model,
+                self.diffuser,
+                num_t=self.cfg.inference.diffusion.num_t,
+                min_t=self.cfg.inference.diffusion.min_t,
+                noise_scale=self.cfg.inference.diffusion.noise_scale,
+                aux_traj=True,
+                inpainting=self.inpainting,
+                input_aatype=self.cfg.inference.input_aatype,
+            )
+        return self._run_cache[key]
+
+    # -- sampling loops ------------------------------------------------------------
+
+    def run_sampling(self) -> None:
+        if self.inpainting:
+            self.run_conditional_sampling()
+        else:
+            self.run_unconditional_sampling()
+
+    def run_conditional_sampling(self) -> None:
+        run = self._get_run_fn()
+        for item_idx, (pdb_name, sample_i, feats) in enumerate(self.sampler):
+            res_mask = feats["res_mask"][0].astype(bool)
+            fixed_mask = feats["fixed_mask"][0].astype(bool)
+            diffused_mask = (~fixed_mask) & res_mask
+            num_diffused = int(diffused_mask.sum())
+            aatype = feats["aatype"][0].astype(np.int64)
+            seq = rc.aatype_to_sequence(aatype[res_mask])
+            residue_index = feats["residue_index"][0]
+            chain_index = feats["chain_idx"][0]
+
+            length_dir = self.output_dir / f"{pdb_name}_length_{num_diffused}"
+            length_dir.mkdir(parents=True, exist_ok=True)
+
+            gt_pdb_path = length_dir / f"{pdb_name}_1.pdb"
+            if not gt_pdb_path.exists():
+                gt_atom37, gt_mask37, _, _ = frames.compute_backbone(
+                    Rigid.from_tensor7(jnp.asarray(feats["rigids_0"])),
+                    jnp.asarray(feats["torsion_angles_sin_cos"][..., 2, :]),
+                    aatype=jnp.asarray(feats["aatype"]),
+                )
+                gt_prot = np.asarray(gt_atom37 * gt_mask37[..., None])[0]
+                b_factors = np.tile(
+                    (diffused_mask * 100.0)[:, None], (1, 37)
+                )
+                analysis_utils.write_prot_to_pdb(
+                    gt_prot[res_mask],
+                    length_dir / pdb_name,
+                    aatype=aatype[res_mask],
+                    b_factors=b_factors[res_mask],
+                    residue_index=residue_index[res_mask],
+                    chain_index=chain_index[res_mask],
+                )
+
+            info_path = length_dir / "diffusion_info.csv"
+            if not info_path.exists():
+                exp_utils.save_diffusion_info(
+                    length_dir,
+                    pdb_name,
+                    seq,
+                    diffused_mask[res_mask],
+                    chain_index[res_mask],
+                )
+
+            sample_dir = length_dir / f"sample_{sample_i}"
+            sample_pdb = sample_dir / f"sample_{sample_i}_1.pdb"
+            if sample_pdb.exists():
+                continue
+            sample_dir.mkdir(parents=True, exist_ok=True)
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.inference.seed), item_idx
+            )
+            with exp_utils.Timer() as timer:
+                out = run(self._params, _to_device(feats), key)
+                out = {k: np.asarray(v) for k, v in out.items()}
+            logger.info(
+                f"{pdb_name} sample {sample_i}: "
+                f"{self.cfg.inference.diffusion.num_t} steps in {timer.elapsed:.2f}s"
+            )
+
+            self.save_traj(
+                out["prot_traj"][:, 0][:, res_mask],
+                out["rigid_0_traj"][:, 0][:, res_mask],
+                diffused_mask[res_mask],
+                output_dir=sample_dir,
+                sample_idx=sample_i,
+                aatype=aatype[res_mask],
+                residue_index=residue_index[res_mask],
+                chain_index=chain_index[res_mask],
+            )
+
+            if self.cfg.inference.confidence_score == "eigenfold":
+                conf_path = sample_dir / "confidence_score.txt"
+                score = logp_confidence_score(
+                    self.model,
+                    self._params,
+                    self.diffuser,
+                    feats,
+                    np.asarray(out["final_rigids"]),
+                    diffused_mask,
+                    num_t=self.cfg.inference.diffusion.num_t,
+                    min_t=self.cfg.inference.diffusion.min_t,
+                    key=jax.random.fold_in(key, 1),
+                )
+                conf_path.write_text(f"{float(score)}\n")
+
+    def run_unconditional_sampling(self) -> None:
+        run = self._get_run_fn()
+        for item_idx, (name, sample_i, feats) in enumerate(self.sampler):
+            length = int(feats["res_mask"][0].sum())
+            length_dir = self.output_dir / name
+            sample_dir = length_dir / f"sample_{sample_i}"
+            if sample_dir.exists():
+                continue
+            sample_dir.mkdir(parents=True, exist_ok=True)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.inference.seed), item_idx
+            )
+            out = run(self._params, _to_device(feats), key)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            traj_paths = self.save_traj(
+                out["prot_traj"][:, 0],
+                out["rigid_0_traj"][:, 0],
+                np.ones(length),
+                output_dir=sample_dir,
+                sample_idx=sample_i,
+            )
+            logger.info(f"done {name} sample {sample_i}: {traj_paths['sample_path']}")
+
+    # -- output -----------------------------------------------------------------
+
+    def save_traj(
+        self,
+        bb_prot_traj: np.ndarray,
+        x0_traj: np.ndarray,
+        diffuse_mask: np.ndarray,
+        output_dir: pathlib.Path,
+        sample_idx: int,
+        aatype: np.ndarray | None = None,
+        residue_index: np.ndarray | None = None,
+        chain_index: np.ndarray | None = None,
+    ) -> dict[str, pathlib.Path]:
+        """Reference save_traj contract (experiments/inference.py:480-556)."""
+        diffuse_mask = diffuse_mask.astype(bool)
+        b_factors = np.tile((diffuse_mask * 100.0)[:, None], (1, 37))
+        common = dict(
+            aatype=aatype, residue_index=residue_index, chain_index=chain_index
+        )
+        sample_path = analysis_utils.write_prot_to_pdb(
+            bb_prot_traj[0],
+            output_dir / f"sample_{sample_idx}",
+            b_factors=b_factors,
+            **common,
+        )
+        traj_path = analysis_utils.write_prot_to_pdb(
+            bb_prot_traj,
+            output_dir / f"bb_traj_{sample_idx}",
+            b_factors=b_factors,
+            **common,
+        )
+        x0_path = analysis_utils.write_prot_to_pdb(
+            x0_traj,
+            output_dir / f"x0_traj_{sample_idx}",
+            b_factors=b_factors,
+            **common,
+        )
+        return {
+            "sample_path": sample_path,
+            "traj_path": traj_path,
+            "x0_traj_path": x0_path,
+        }
+
+
+def _to_device(feats: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
+    out = {}
+    for k, v in feats.items():
+        if k in ("aatype", "seq_idx"):
+            out[k] = jnp.asarray(v, jnp.int32)
+        elif k in ("chain_idx", "residue_index", "residx_atom14_to_atom37"):
+            continue  # host-side bookkeeping only
+        elif k in ("rigidgroups_0", "atom37_pos", "atom37_mask", "atom14_pos"):
+            continue
+        else:
+            out[k] = jnp.asarray(v, jnp.float32)
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    yaml_path = None
+    overrides = []
+    cif_dir = None
+    for arg in argv:
+        if arg.startswith("--config="):
+            yaml_path = arg.split("=", 1)[1]
+        elif arg.startswith("--cif_dir="):
+            cif_dir = arg.split("=", 1)[1]
+        else:
+            overrides.append(arg)
+    cfg = load_config(yaml_path, overrides)
+    with exp_utils.Timer() as t:
+        Inference(cfg, cif_dir=cif_dir).run_sampling()
+    logger.info(f"inference finished in {t.elapsed:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
