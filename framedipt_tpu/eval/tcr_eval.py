@@ -1,0 +1,207 @@
+"""TCR inpainting evaluation CLI.
+
+Role of evaluation/evaluate_tcr.py: walk an inference output directory
+(per-structure ``{pdb}_length_{L}`` dirs), parse ``diffusion_info.csv``,
+compute backbone/full-atom/per-residue RMSDs and dihedral errors between
+each sample and the ground truth over the diffused regions, aggregate per
+sample-selection strategy (mean/median/mode/closest pickers), and write
+``eval_metrics_all.csv`` plus one ``eval_metrics_{strategy}.csv`` per
+strategy. Box/swarm plots when matplotlib is available.
+
+Usage:
+    python -m framedipt_tpu.eval.tcr_eval --prediction_dir=... [--output_dir=...]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+from framedipt_tpu.data.protein import Protein, from_pdb_string
+from framedipt_tpu.eval import metrics as eval_metrics
+from framedipt_tpu.eval import selection as sel_lib
+from framedipt_tpu.eval.metrics import BACKBONE_IDX
+from framedipt_tpu.tools.log import get_logger
+
+logger = get_logger()
+
+
+def parse_diffusion_info(path: pathlib.Path) -> dict:
+    df = pd.read_csv(path, sep="\t")
+    row = df.iloc[0]
+    chains = str(row["chain"]).split(",")
+    starts = [int(x) for x in str(row["start"]).split(",")]
+    ends = [int(x) for x in str(row["end"]).split(",")]
+    return {
+        "pdb_name": row["pdb_name"],
+        "seq": row["seq"],
+        "chains": chains,
+        "regions": list(zip(starts, ends)),
+    }
+
+
+def traverse_prediction_dir(prediction_dir: pathlib.Path):
+    """Yield (length_dir, gt_pdb_path, info, [sample pdb paths])."""
+    for length_dir in sorted(prediction_dir.glob("*_length_*")):
+        info_path = length_dir / "diffusion_info.csv"
+        if not info_path.exists():
+            continue
+        info = parse_diffusion_info(info_path)
+        gt_path = length_dir / f"{info['pdb_name']}_1.pdb"
+        if not gt_path.exists():
+            continue
+        samples = sorted(length_dir.glob("sample_*/sample_*_1.pdb"))
+        if samples:
+            yield length_dir, gt_path, info, samples
+
+
+def _region_residue_sel(
+    prot: Protein, chains: list[str], regions: list[tuple[int, int]]
+) -> np.ndarray:
+    sel = np.zeros(len(prot.aatype), bool)
+    for ch, (s, e) in zip(chains, regions):
+        chain_sel = np.where(eval_metrics._chain_residue_sel(prot, ch))[0]
+        sel[chain_sel[s : e + 1]] = True
+    return sel
+
+
+def compute_sample_metrics(
+    gt: Protein, pred: Protein, info: dict
+) -> dict[str, float]:
+    chains, regions = info["chains"], info["regions"]
+    out = {
+        "backbone_rmsd": eval_metrics.backbone_rmsd(
+            pred, gt, chains, regions, regions
+        ),
+        "full_atom_rmsd": eval_metrics.full_atom_rmsd(
+            pred, gt, chains, regions, regions
+        ),
+    }
+    per_chain = eval_metrics.chain_backbone_rmsd(pred, gt, chains, regions, regions)
+    for k, v in per_chain.items():
+        out[f"backbone_rmsd_{k}"] = v
+    # Dihedral errors over each region.
+    phi_err, psi_err, omega_err = [], [], []
+    for ch, region in zip(chains, regions):
+        d_gt = eval_metrics.backbone_dihedrals(gt, ch, region)
+        d_pred = eval_metrics.backbone_dihedrals(pred, ch, region)
+        for name, acc in (("phi", phi_err), ("psi", psi_err), ("omega", omega_err)):
+            ok = np.isfinite(d_gt[name]) & np.isfinite(d_pred[name])
+            if ok.any():
+                acc.extend(
+                    np.degrees(
+                        eval_metrics.angle_error(d_pred[name][ok], d_gt[name][ok])
+                    )
+                )
+    out["phi_error_deg"] = float(np.mean(phi_err)) if phi_err else np.nan
+    out["psi_error_deg"] = float(np.mean(psi_err)) if psi_err else np.nan
+    out["omega_error_deg"] = float(np.mean(omega_err)) if omega_err else np.nan
+    return out
+
+
+def run(
+    prediction_dir: pathlib.Path,
+    output_dir: pathlib.Path | None = None,
+    strategies=sel_lib.SAMPLE_SELECTION_STRATEGIES,
+    make_plots: bool = True,
+) -> pd.DataFrame:
+    prediction_dir = pathlib.Path(prediction_dir)
+    output_dir = pathlib.Path(output_dir or prediction_dir / "evaluation")
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    all_rows = []
+    strategy_rows: dict[str, list] = {s: [] for s in strategies}
+
+    for length_dir, gt_path, info, sample_paths in traverse_prediction_dir(
+        prediction_dir
+    ):
+        gt = from_pdb_string(gt_path.read_text())
+        preds = [from_pdb_string(p.read_text()) for p in sample_paths]
+        pdb_name = info["pdb_name"]
+
+        for i, (path, pred) in enumerate(zip(sample_paths, preds)):
+            row = {"pdb_name": pdb_name, "sample": i, "path": str(path)}
+            row.update(compute_sample_metrics(gt, pred, info))
+            all_rows.append(row)
+
+        # Sample selection over diffusion-region backbone coords.
+        sel_res = _region_residue_sel(preds[0], info["chains"], info["regions"])
+        region_coords = np.stack(
+            [p.atom_positions[sel_res][:, BACKBONE_IDX, :] for p in preds]
+        )
+        selections = sel_lib.select_samples(region_coords, strategies)
+        for strategy, result in selections.items():
+            if result["index"] is not None:
+                chosen = preds[result["index"]]
+            else:
+                chosen = sel_lib.synthesize_protein(
+                    preds[0], sel_res, BACKBONE_IDX, result["coords"]
+                )
+            row = {
+                "pdb_name": pdb_name,
+                "strategy": strategy,
+                "selected_sample": result["index"],
+            }
+            row.update(compute_sample_metrics(gt, chosen, info))
+            strategy_rows[strategy].append(row)
+        logger.info(f"evaluated {pdb_name}: {len(preds)} samples")
+
+    df_all = pd.DataFrame(all_rows)
+    df_all.to_csv(output_dir / "eval_metrics_all.csv", index=False)
+    for strategy, rows in strategy_rows.items():
+        pd.DataFrame(rows).to_csv(
+            output_dir / f"eval_metrics_{strategy}.csv", index=False
+        )
+
+    if make_plots and len(df_all):
+        _plots(df_all, output_dir)
+    return df_all
+
+
+def _plots(df: pd.DataFrame, output_dir: pathlib.Path) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+    except ImportError:  # pragma: no cover
+        logger.warning("matplotlib/seaborn unavailable; skipping plots")
+        return
+    metrics = [
+        c
+        for c in ("backbone_rmsd", "full_atom_rmsd", "phi_error_deg", "psi_error_deg")
+        if c in df.columns
+    ]
+    for metric in metrics:
+        fig, ax = plt.subplots(figsize=(max(6, 0.5 * df["pdb_name"].nunique()), 4))
+        sns.boxplot(data=df, x="pdb_name", y=metric, ax=ax, color="lightblue")
+        sns.swarmplot(data=df, x="pdb_name", y=metric, ax=ax, color="black", size=3)
+        ax.tick_params(axis="x", rotation=90)
+        fig.tight_layout()
+        fig.savefig(output_dir / f"{metric}_boxplot.png", dpi=120)
+        plt.close(fig)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prediction_dir", required=True)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--no_plots", action="store_true")
+    args = ap.parse_args()
+    df = run(
+        pathlib.Path(args.prediction_dir),
+        pathlib.Path(args.output_dir) if args.output_dir else None,
+        make_plots=not args.no_plots,
+    )
+    if len(df):
+        logger.info(
+            f"evaluated {df['pdb_name'].nunique()} structures, "
+            f"mean backbone RMSD {df['backbone_rmsd'].mean():.3f} A"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -285,7 +285,64 @@ class Inference:
                 output_dir=sample_dir,
                 sample_idx=sample_i,
             )
+            self.run_self_consistency(sample_dir, traj_paths["sample_path"])
             logger.info(f"done {name} sample {sample_i}: {traj_paths['sample_path']}")
+
+    def run_self_consistency(
+        self, sample_dir: pathlib.Path, sample_pdb: pathlib.Path
+    ) -> None:
+        """De novo self-consistency: ProteinMPNN sequences -> ESMFold refold
+        -> scTM/scRMSD vs the generated backbone, written to
+        self_consistency/sc_results.csv (experiments/inference.py:625-706).
+        Degrades gracefully when the external tools are unavailable."""
+        from framedipt_tpu.analysis import metrics as analysis_metrics
+        from framedipt_tpu.data.protein import from_pdb_string
+        from framedipt_tpu.tools import external
+
+        sc_dir = sample_dir / "self_consistency"
+        sc_dir.mkdir(exist_ok=True)
+        try:
+            seqs_dir = external.run_protein_mpnn(
+                pdb_dir=sample_dir,
+                output_dir=sc_dir,
+                mpnn_repo=getattr(self.cfg.inference, "pmpnn_dir", None),
+                num_seq_per_target=self.cfg.inference.samples.seq_per_sample,
+            )
+        except external.ToolUnavailable as e:
+            logger.warning(f"self-consistency skipped: {e}")
+            return
+
+        sample_prot = from_pdb_string(pathlib.Path(sample_pdb).read_text())
+        sample_ca = sample_prot.atom_positions[:, rc.CA_IDX]
+        rows = []
+        for fasta in sorted(pathlib.Path(seqs_dir).glob("*.fa")):
+            seqs = [
+                line.strip()
+                for line in fasta.read_text().splitlines()
+                if line and not line.startswith(">")
+            ]
+            for i, seq in enumerate(seqs):
+                try:
+                    pdb_str = external.esmfold_predict(seq)
+                except external.ToolUnavailable as e:
+                    logger.warning(f"ESMFold unavailable: {e}")
+                    return
+                pred_path = sc_dir / f"esmf_sample_{i}.pdb"
+                pred_path.write_text(pdb_str)
+                pred_prot = from_pdb_string(pdb_str)
+                pred_ca = pred_prot.atom_positions[:, rc.CA_IDX]
+                if len(pred_ca) != len(sample_ca):
+                    continue
+                _, tm = analysis_metrics.calc_tm_score(pred_ca, sample_ca)
+                rmsd = analysis_metrics.calc_aligned_rmsd(pred_ca, sample_ca)
+                rows.append(
+                    {"sequence": seq, "sample": str(pred_path),
+                     "rmsd": rmsd, "tm_score": tm}
+                )
+        if rows:
+            import pandas as pd
+
+            pd.DataFrame(rows).to_csv(sc_dir / "sc_results.csv", index=False)
 
     # -- output -----------------------------------------------------------------
 

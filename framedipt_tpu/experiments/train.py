@@ -1,0 +1,218 @@
+"""Training CLI: score-matching over preprocessed PDB datasets.
+
+The reference ships no train.py (SURVEY.md intro); this reconstructs the
+FrameDiff-lineage trainer from the reference's config contract
+(config/base.yaml:81-147): Adam @1e-4, t ~ U(min_t, 1) per example,
+forward-marginal noising, DSM losses (train/losses.py), length batching
+under a max_squared_res memory cap, inpainting-mode redaction masks,
+checkpoint every ckpt_freq steps with an early checkpoint, and t-stratified
+loss reporting.
+
+TPU-native: batches are padded to static buckets, sharded over the mesh
+``dp`` axis, and the whole step (noising + model + loss + update) is one
+jitted program.
+
+Usage:
+    python -m framedipt_tpu.experiments.train data.csv_path=.../metadata.csv \
+        experiment.batch_size=32 [key=value ...]
+"""
+from __future__ import annotations
+
+import pathlib
+import pickle
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from framedipt_tpu.data import features as feature_lib
+from framedipt_tpu.diffusion import SE3Diffuser
+from framedipt_tpu.model import ScoreNetwork
+from framedipt_tpu.parallel import make_mesh, shard_batch
+from framedipt_tpu.tools.config import Config, load_config, save_config
+from framedipt_tpu.tools.log import get_logger
+from framedipt_tpu.train.checkpoints import latest_checkpoint, load_checkpoint, save_checkpoint
+from framedipt_tpu.train.loop import build_train_step, init_train_state, make_optimizer
+from framedipt_tpu.train.losses import t_stratified_metrics
+
+logger = get_logger()
+
+_BATCH_KEYS = (
+    "rigids_0",
+    "res_mask",
+    "fixed_mask",
+    "seq_idx",
+    "torsion_angles_sin_cos",
+    "aatype",
+)
+
+
+class TrainDataset:
+    """In-memory dataset over preprocessed pickles + metadata.csv, with
+    per-epoch redaction masks (inpainting) and bucketed length batching."""
+
+    def __init__(self, cfg: Config, rng: np.random.Generator) -> None:
+        import pandas as pd
+
+        self.cfg = cfg
+        self.rng = rng
+        meta = pd.read_csv(cfg.data.csv_path)
+        filt = cfg.data.filtering
+        meta = meta[meta.modeled_seq_len <= filt.max_len]
+        meta = meta[meta.modeled_seq_len >= filt.min_len]
+        if filt.subset:
+            meta = meta.iloc[: filt.subset]
+        self.meta = meta.reset_index(drop=True)
+        logger.info(f"dataset: {len(self.meta)} structures after filters")
+        self._cache: dict[int, dict] = {}
+
+    def _features(self, idx: int) -> dict:
+        if idx not in self._cache:
+            with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
+                raw = pickle.load(f)
+            self._cache[idx] = feature_lib.build_model_features(
+                raw,
+                extract_single_chain=self.cfg.data.single_chain,
+                rng=self.rng,
+                chain_max_len=self.cfg.data.filtering.chain_max_len,
+            )
+        return self._cache[idx]
+
+    def example(self, idx: int) -> dict:
+        feats = dict(self._features(idx))
+        if self.cfg.experiment.inpainting:
+            mask = feature_lib.create_redacted_regions(
+                feats["chain_idx"],
+                feats["res_mask"],
+                self.rng,
+                self.cfg.data.redaction.redact_min_len,
+                self.cfg.data.redaction.redact_max_len,
+            )
+            feats["fixed_mask"] = (1 - mask).astype(np.float32)
+        else:
+            feats["fixed_mask"] = np.zeros_like(feats["res_mask"])
+        return feats
+
+    def batches(self, batch_size: int):
+        """Yield stacked batches of same-bucket examples each epoch."""
+        lengths = self.meta["modeled_seq_len"].to_numpy()
+        order = self.rng.permutation(len(self.meta))
+        buckets: dict[int, list[int]] = {}
+        for idx in order:
+            b = feature_lib.length_bucket(int(lengths[idx]))
+            buckets.setdefault(b, []).append(int(idx))
+        for bucket_len, idxs in buckets.items():
+            # Cap batch by the reference's quadratic memory rule.
+            cap = max(
+                1,
+                min(
+                    batch_size,
+                    self.cfg.experiment.max_squared_res // bucket_len**2,
+                ),
+            )
+            for i in range(0, len(idxs), cap):
+                group = idxs[i : i + cap]
+                feats = [
+                    feature_lib.pad_feats(self.example(j), bucket_len)
+                    for j in group
+                ]
+                batch = {
+                    k: np.stack([f[k] for f in feats]) for k in _BATCH_KEYS
+                }
+                yield batch
+
+
+def train(cfg: Config) -> None:
+    seed = cfg.experiment.seed
+    rng = np.random.default_rng(seed)
+    diffuser = SE3Diffuser(cfg.diffuser)
+    model = ScoreNetwork(cfg.model, diffuser, inpainting=cfg.experiment.inpainting)
+    optimizer = make_optimizer(cfg.experiment.learning_rate)
+    dataset = TrainDataset(cfg, rng)
+
+    mesh = make_mesh(dp_size=cfg.experiment.dp_size, fsdp_size=cfg.experiment.fsdp_size)
+    logger.info(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+
+    example = next(iter(dataset.batches(2)))
+    state = init_train_state(model, optimizer, example, jax.random.PRNGKey(seed))
+
+    ckpt_dir = pathlib.Path(cfg.experiment.ckpt_dir) / cfg.experiment.name
+    resume = cfg.experiment.resume_ckpt_dir or (
+        str(ckpt_dir) if latest_checkpoint(ckpt_dir) else None
+    )
+    if resume and latest_checkpoint(resume):
+        restored, _ = load_checkpoint(latest_checkpoint(resume), target=state._asdict())
+        state = state._replace(
+            step=restored["step"], params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        logger.info(f"resumed from step {int(state.step)}")
+
+    num_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    cfg.experiment.num_parameters = int(num_params)
+    logger.info(f"model parameters: {num_params:,}")
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, str(ckpt_dir / "train_conf.yaml"))
+
+    train_step = jax.jit(build_train_step(model, diffuser, cfg, optimizer))
+    key = jax.random.PRNGKey(seed + 1)
+
+    step = int(state.step)
+    log_t0 = time.time()
+    with mesh:
+        for epoch in range(cfg.experiment.num_epoch):
+            for batch in dataset.batches(cfg.experiment.batch_size):
+                # dp sharding requires batch divisible by dp; pad by repeat.
+                dp = mesh.shape["dp"]
+                bsz = batch["res_mask"].shape[0]
+                if bsz % dp:
+                    reps = dp - bsz % dp
+                    batch = {
+                        k: np.concatenate([v, v[:reps]]) for k, v in batch.items()
+                    }
+                sharded = shard_batch(mesh, batch)
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, sharded, sub)
+                step += 1
+
+                if step % cfg.experiment.log_freq == 0 or step == 1:
+                    loss = float(metrics["loss"])
+                    rate = cfg.experiment.log_freq / max(time.time() - log_t0, 1e-9)
+                    log_t0 = time.time()
+                    strat = t_stratified_metrics(
+                        np.asarray(metrics["per_example_loss"]),
+                        np.asarray(metrics["t"]),
+                    )
+                    logger.info(
+                        f"epoch {epoch} step {step}: loss {loss:.4f} "
+                        f"({rate:.2f} steps/s) {strat}"
+                    )
+                early = (
+                    cfg.experiment.early_ckpt
+                    and step == cfg.experiment.early_ckpt_step
+                )
+                if step % cfg.experiment.ckpt_freq == 0 or early:
+                    save_checkpoint(
+                        ckpt_dir, step, state.params, state.opt_state, cfg,
+                        epoch=epoch,
+                    )
+    save_checkpoint(ckpt_dir, step, state.params, state.opt_state, cfg)
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    yaml_path = None
+    overrides = []
+    for arg in argv:
+        if arg.startswith("--config="):
+            yaml_path = arg.split("=", 1)[1]
+        else:
+            overrides.append(arg)
+    cfg = load_config(yaml_path, overrides)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -229,6 +229,9 @@ class InferenceConfig:
     confidence_score: str | None = None
     output_dir: str = "./inference_outputs/"
     weights_path: str = "./weights/inpainting.pth"
+    pmpnn_dir: str | None = None  # ProteinMPNN checkout for self-consistency
+    save_backbone_trajectory: bool = True
+    save_pred_x0_trajectory: bool = True
     diffusion: InferenceDiffusionConfig = field(
         default_factory=InferenceDiffusionConfig
     )

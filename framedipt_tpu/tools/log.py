@@ -22,5 +22,6 @@ def get_logger(name: str = "framedipt_tpu") -> logging.Logger:
             )
             logger.addHandler(handler)
         logger.setLevel(logging.INFO)
+        logger.propagate = False  # avoid duplicate lines via the root logger
         _LOGGER = logger
     return _LOGGER

@@ -156,7 +156,7 @@ def build_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
-            **{k: v for k, v in terms.items() if k != "per_example_loss"},
+            **terms,
         }
         return TrainState(state.step + 1, new_params, new_opt_state), metrics
 
