@@ -1,6 +1,7 @@
 """Benchmark: reverse-diffusion sampler throughput at length 256.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric (best steps/s at len-256), plus per-variant lines on stderr.
 
 Workload = the BASELINE north star (BASELINE.md): full-size FrameDiPT model
 (node 256 / edge 128, 4 IPA blocks), length-256 inpainting, self-conditioned
@@ -11,54 +12,71 @@ in <5 s on one v5e chip).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import sys
 import time
 
 import jax
-import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 TARGET_STEPS_PER_SEC = 100.0  # 500-step CDR3 sample in <5 s (BASELINE.md)
 
 
-def main() -> None:
+def bench_variant(num_res: int, num_t: int, compute_dtype: str) -> float:
     from __graft_entry__ import _make_feats, _make_model
+    from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.sampling import build_inference_fn
 
-    num_res, num_t = 256, 100
     cfg, diffuser, model = _make_model()
+    if compute_dtype != "float32":
+        mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
+        model = ScoreNetwork(mc, diffuser, inpainting=True)
+
     feats = _make_feats(1, num_res)
     params = model.init(jax.random.PRNGKey(0), feats)
-
     run = build_inference_fn(
-        model,
-        diffuser,
-        num_t=num_t,
-        min_t=0.01,
-        noise_scale=0.1,
-        inpainting=True,
-        aux_traj=False,
+        model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.1,
+        inpainting=True, aux_traj=False,
     )
-
-    # Compile + warm up.
-    out = run(params, feats, jax.random.PRNGKey(1))
+    out = run(params, feats, jax.random.PRNGKey(1))  # compile + warmup
     jax.block_until_ready(out)
-
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = run(params, feats, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+    return num_t / min(times)
 
-    best = min(times)
-    steps_per_sec = num_t / best
+
+def main() -> None:
+    results = {}
+    for name, (num_res, num_t, dtype) in {
+        "len256_f32": (256, 100, "float32"),
+        "len256_bf16": (256, 100, "bfloat16"),
+        "len512_bf16": (512, 100, "bfloat16"),
+    }.items():
+        try:
+            sps = bench_variant(num_res, num_t, dtype)
+            results[name] = round(sps, 2)
+            print(f"{name}: {sps:.1f} steps/s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} failed: {e}", file=sys.stderr)
+
+    best256 = max(
+        v for k, v in results.items() if k.startswith("len256")
+    )
     print(
         json.dumps(
             {
                 "metric": "diffusion_steps_per_sec_len256",
-                "value": round(steps_per_sec, 2),
+                "value": best256,
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 3),
+                "vs_baseline": round(best256 / TARGET_STEPS_PER_SEC, 3),
+                "variants": results,
             }
         )
     )

@@ -55,6 +55,7 @@ class InvariantPointAttention(nn.Module):
     conf: IPAConfig
     inf: float = 1e5
     eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -71,27 +72,30 @@ class InvariantPointAttention(nn.Module):
         mats = rigids.rot_mats()
         trans = rigids.trans
 
-        # Scalar q/k/v.
-        q = Linear(H * C, name="linear_q")(s).reshape(B, N, H, C)
-        kv = Linear(2 * H * C, name="linear_kv")(s).reshape(B, N, H, 2 * C)
+        # Scalar q/k/v (compute dtype: bf16-capable, f32 accumulation).
+        q = Linear(H * C, dtype=self.dtype, name="linear_q")(s).reshape(B, N, H, C)
+        kv = Linear(2 * H * C, dtype=self.dtype, name="linear_kv")(s).reshape(
+            B, N, H, 2 * C
+        )
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # Point q/k/v, built in local frames then lifted to global.
-        q_pts = _points_from_linear(Linear(H * Pq * 3, name="linear_q_points")(s))
+        # Point q/k/v: geometry stays float32 regardless of compute dtype.
+        s32 = s.astype(F32)
+        q_pts = _points_from_linear(Linear(H * Pq * 3, name="linear_q_points")(s32))
         q_pts = _apply_frames(mats, trans, q_pts).reshape(B, N, H, Pq, 3)
         kv_pts = _points_from_linear(
-            Linear(H * (Pq + Pv) * 3, name="linear_kv_points")(s)
+            Linear(H * (Pq + Pv) * 3, name="linear_kv_points")(s32)
         )
         kv_pts = _apply_frames(mats, trans, kv_pts).reshape(B, N, H, Pq + Pv, 3)
         k_pts, v_pts = jnp.split(kv_pts, [Pq], axis=-2)
 
         # Pair bias.
-        b = Linear(H, name="linear_b")(z)  # [B, N, N, H]
+        b = Linear(H, dtype=self.dtype, name="linear_b")(z)  # [B, N, N, H]
 
-        # Scalar logits: [B, H, N, N].
+        # Scalar logits: [B, H, N, N] (f32 accumulation).
         a = jnp.einsum("bihc,bjhc->bhij", q, k, preferred_element_type=F32)
         a = a * np.sqrt(1.0 / (3 * C))
-        a = a + np.sqrt(1.0 / 3) * jnp.moveaxis(b, -1, 1)
+        a = a + np.sqrt(1.0 / 3) * jnp.moveaxis(b.astype(F32), -1, 1)
 
         # Point logits via squared-distance expansion (MXU matmul form).
         head_weights = jax.nn.softplus(
@@ -119,8 +123,11 @@ class InvariantPointAttention(nn.Module):
         a = a + square_mask[:, None, :, :]
         a = jax.nn.softmax(a, axis=-1)
 
-        # Scalar output.
-        o = jnp.einsum("bhij,bjhc->bihc", a, v, preferred_element_type=F32)
+        # Scalar output (attention weights cast to the compute dtype so the
+        # big matmul rides the MXU at full rate; accumulation stays f32).
+        o = jnp.einsum(
+            "bhij,bjhc->bihc", a.astype(self.dtype), v, preferred_element_type=F32
+        )
         o = o.reshape(B, N, H * C)
 
         # Point output: attention-weighted global points -> local frames.
@@ -133,9 +140,10 @@ class InvariantPointAttention(nn.Module):
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + self.eps)  # [B, N, H*Pv]
 
         # Pair output through the down-projected pair rep.
-        pair_z = Linear(c.c_z // 4, name="down_z")(z)
+        pair_z = Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(z)
         o_pair = jnp.einsum(
-            "bhij,bijd->bihd", a, pair_z, preferred_element_type=F32
+            "bhij,bijd->bihd", a.astype(self.dtype), pair_z,
+            preferred_element_type=F32,
         ).reshape(B, N, -1)
 
         # Concat order matches the reference for weight-import parity:
@@ -144,21 +152,24 @@ class InvariantPointAttention(nn.Module):
             [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
             axis=-1,
         )
-        return Linear(c.c_s, init="final", name="linear_out")(o_feats)
+        return Linear(
+            c.c_s, w_init="final", dtype=self.dtype, name="linear_out"
+        )(o_feats)
 
 
 class StructureModuleTransition(nn.Module):
     c: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, s: jnp.ndarray) -> jnp.ndarray:
         s_init = s
-        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = Linear(self.c, w_init="relu", dtype=self.dtype, name="linear_1")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = Linear(self.c, w_init="relu", dtype=self.dtype, name="linear_2")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, init="final", name="linear_3")(s)
-        return nn.LayerNorm(name="ln")(s + s_init)
+        s = Linear(self.c, w_init="final", dtype=self.dtype, name="linear_3")(s)
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(s + s_init)
 
 
 class EdgeTransition(nn.Module):
@@ -166,11 +177,14 @@ class EdgeTransition(nn.Module):
     edge_embed_out: int
     num_layers: int = 2
     node_dilation: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, node_embed: jnp.ndarray, edge_embed: jnp.ndarray):
         bias_size = self.node_embed_size // self.node_dilation
-        node_bias = Linear(bias_size, init="relu", name="initial_embed")(node_embed)
+        node_bias = Linear(
+            bias_size, w_init="relu", dtype=self.dtype, name="initial_embed"
+        )(node_embed)
         B, N, _ = node_bias.shape
         edge_bias = jnp.concatenate(
             [
@@ -182,10 +196,12 @@ class EdgeTransition(nn.Module):
         x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
         y = x
         for i in range(self.num_layers):
-            y = Linear(x.shape[-1], init="relu", name=f"trunk_{i}")(y)
+            y = Linear(x.shape[-1], w_init="relu", dtype=self.dtype, name=f"trunk_{i}")(y)
             y = jax.nn.relu(y)
-        x = Linear(self.edge_embed_out, init="final", name="final_layer")(y + x)
-        return nn.LayerNorm(name="layer_norm")(x)
+        x = Linear(
+            self.edge_embed_out, w_init="final", dtype=self.dtype, name="final_layer"
+        )(y + x)
+        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
 
 
 class SeqTransformerLayer(nn.Module):
@@ -195,12 +211,13 @@ class SeqTransformerLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
         B, N, D = x.shape
         Hd = D // self.num_heads
-        qkv = Linear(3 * D, init="glorot", name="in_proj")(x)
+        qkv = Linear(3 * D, w_init="glorot", dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, N, self.num_heads, Hd)
         k = k.reshape(B, N, self.num_heads, Hd)
@@ -211,14 +228,15 @@ class SeqTransformerLayer(nn.Module):
         logits = logits + (pad_mask[:, None, None, :] - 1.0) * 1e9
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
-            "bhij,bjhd->bihd", attn, v, preferred_element_type=F32
+            "bhij,bjhd->bihd", attn.astype(self.dtype), v,
+            preferred_element_type=F32,
         ).reshape(B, N, D)
-        out = Linear(D, name="out_proj")(out)
-        x = nn.LayerNorm(name="norm1")(x + out)
-        ff = Linear(D, name="ff_linear1")(x)
+        out = Linear(D, dtype=self.dtype, name="out_proj")(out)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + out)
+        ff = Linear(D, dtype=self.dtype, name="ff_linear1")(x)
         ff = jax.nn.relu(ff)
-        ff = Linear(D, name="ff_linear2")(ff)
-        return nn.LayerNorm(name="norm2")(x + ff)
+        ff = Linear(D, dtype=self.dtype, name="ff_linear2")(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
 
 
 class TorsionAngles(nn.Module):
@@ -229,12 +247,12 @@ class TorsionAngles(nn.Module):
     @nn.compact
     def __call__(self, s: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         s_init = s
-        s = Linear(self.c, init="relu", name="linear_1")(s)
+        s = Linear(self.c, w_init="relu", name="linear_1")(s)
         s = jax.nn.relu(s)
-        s = Linear(self.c, init="relu", name="linear_2")(s)
+        s = Linear(self.c, w_init="relu", name="linear_2")(s)
         s = s + s_init
         unnormalized = Linear(
-            self.num_torsions * 2, init="final", name="linear_final"
+            self.num_torsions * 2, w_init="final", name="linear_final"
         )(s)
         norm = jnp.sqrt(
             jnp.maximum(
@@ -262,40 +280,48 @@ class IpaTrunk(nn.Module):
         diffuse_mask: jnp.ndarray,  # [B, N]
     ) -> dict[str, jnp.ndarray]:
         ipa_conf = self.conf.ipa
+        dtype = (
+            jnp.bfloat16 if self.conf.compute_dtype == "bfloat16" else jnp.float32
+        )
         edge_mask = node_mask[..., None] * node_mask[..., None, :]
 
         curr = Rigid.from_tensor7(rigids_t7).scale_trans(ipa_conf.coordinate_scaling)
-        init_node_embed = init_node_embed * node_mask[..., None]
+        init_node_embed = (init_node_embed * node_mask[..., None]).astype(dtype)
+        edge_embed = edge_embed.astype(dtype)
         node_embed = init_node_embed
 
         for b in range(ipa_conf.num_blocks):
-            ipa_embed = InvariantPointAttention(ipa_conf, name=f"ipa_{b}")(
-                node_embed, edge_embed, curr, node_mask
+            ipa_embed = InvariantPointAttention(
+                ipa_conf, dtype=dtype, name=f"ipa_{b}"
+            )(node_embed, edge_embed, curr, node_mask)
+            ipa_embed = ipa_embed * node_mask[..., None].astype(dtype)
+            node_embed = nn.LayerNorm(dtype=dtype, name=f"ipa_ln_{b}")(
+                node_embed + ipa_embed
             )
-            ipa_embed = ipa_embed * node_mask[..., None]
-            node_embed = nn.LayerNorm(name=f"ipa_ln_{b}")(node_embed + ipa_embed)
 
-            skip = Linear(ipa_conf.c_skip, init="final", name=f"skip_embed_{b}")(
-                init_node_embed
-            )
+            skip = Linear(
+                ipa_conf.c_skip, w_init="final", dtype=dtype, name=f"skip_embed_{b}"
+            )(init_node_embed)
             tfmr_in = jnp.concatenate([node_embed, skip], axis=-1)
             tfmr_out = tfmr_in
             for layer in range(ipa_conf.seq_tfmr_num_layers):
                 tfmr_out = SeqTransformerLayer(
                     d_model=ipa_conf.c_s + ipa_conf.c_skip,
                     num_heads=ipa_conf.seq_tfmr_num_heads,
+                    dtype=dtype,
                     name=f"seq_tfmr_{b}_layer_{layer}",
                 )(tfmr_out, node_mask)
             node_embed = node_embed + Linear(
-                ipa_conf.c_s, init="final", name=f"post_tfmr_{b}"
+                ipa_conf.c_s, w_init="final", dtype=dtype, name=f"post_tfmr_{b}"
             )(tfmr_out)
             node_embed = StructureModuleTransition(
-                c=ipa_conf.c_s, name=f"node_transition_{b}"
+                c=ipa_conf.c_s, dtype=dtype, name=f"node_transition_{b}"
             )(node_embed)
-            node_embed = node_embed * node_mask[..., None]
+            node_embed = node_embed * node_mask[..., None].astype(dtype)
 
-            rigid_update = Linear(6, init="final", name=f"bb_update_{b}")(
-                node_embed * diffuse_mask[..., None]
+            # Frame updates always in float32.
+            rigid_update = Linear(6, w_init="final", name=f"bb_update_{b}")(
+                (node_embed * diffuse_mask[..., None].astype(dtype)).astype(F32)
             )
             curr = curr.compose_q_update_vec(
                 rigid_update, update_mask=diffuse_mask[..., None]
@@ -305,13 +331,16 @@ class IpaTrunk(nn.Module):
                 edge_embed = EdgeTransition(
                     node_embed_size=ipa_conf.c_s,
                     edge_embed_out=self.conf.edge_embed_size,
+                    dtype=dtype,
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None]
+                edge_embed = edge_embed * edge_mask[..., None].astype(dtype)
 
-        _, psi_pred = TorsionAngles(ipa_conf.c_s, 1, name="torsion_pred")(node_embed)
+        _, psi_pred = TorsionAngles(ipa_conf.c_s, 1, name="torsion_pred")(
+            node_embed.astype(F32)
+        )
         return {
             "final_rigids_scaled_t7": curr.to_tensor7(),
             "psi": psi_pred,
-            "node_embed": node_embed,
+            "node_embed": node_embed.astype(F32),
         }

@@ -53,7 +53,7 @@ class Linear(nn.Module):
     """Dense layer with a named initializer from the AF2 zoo."""
 
     features: int
-    init: str = "default"
+    w_init: str = "default"
     use_bias: bool = True
     dtype: jnp.dtype | None = None
 
@@ -61,13 +61,13 @@ class Linear(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         bias_init = (
             nn.initializers.ones_init()
-            if self.init == "gating"
+            if self.w_init == "gating"
             else nn.initializers.zeros_init()
         )
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
-            kernel_init=_KERNEL_INITS[self.init],
+            kernel_init=_KERNEL_INITS[self.w_init],
             bias_init=bias_init,
             dtype=self.dtype,
             name="dense",

@@ -59,8 +59,16 @@ class ScoreNetwork(nn.Module):
             self.conf.input_aatype,
         )
 
+        compute_dtype = (
+            jnp.bfloat16
+            if self.conf.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         node_embed, edge_embed = Embedder(
-            self.conf, inpainting=self.inpainting, name="embedding_layer"
+            self.conf,
+            inpainting=self.inpainting,
+            dtype=compute_dtype,
+            name="embedding_layer",
         )(
             seq_idx=input_feats["seq_idx"],
             t=input_feats["t"],
@@ -68,8 +76,8 @@ class ScoreNetwork(nn.Module):
             self_conditioning_ca=input_feats["sc_ca_t"],
             aatype=aatype,
         )
-        node_embed = node_embed * bb_mask[..., None]
-        edge_embed = edge_embed * edge_mask[..., None]
+        node_embed = node_embed * bb_mask[..., None].astype(node_embed.dtype)
+        edge_embed = edge_embed * edge_mask[..., None].astype(edge_embed.dtype)
 
         diffuse_mask = (1.0 - fixed_mask) * bb_mask
         rigids_t7 = input_feats["rigids_t"].astype(jnp.float32)

@@ -92,6 +92,10 @@ class ModelConfig:
     node_embed_size: int = 256
     edge_embed_size: int = 128
     dropout: float = 0.0
+    # TPU compute dtype for the trunk's dense math ("float32"/"bfloat16").
+    # Frame algebra, attention softmax accumulation, and score conversions
+    # always stay float32.
+    compute_dtype: str = "float32"
     embed: EmbedConfig = field(default_factory=EmbedConfig)
     ipa: IPAConfig = field(default_factory=IPAConfig)
 
