@@ -113,9 +113,14 @@ def convert_state_dict(
             et_src = f"{trunk}.edge_transition_{b}"
             et_dst = f"score_model/edge_transition_{b}"
             _linear(p, f"{et_dst}/initial_embed", sd, f"{et_src}.initial_embed")
-            _linear(p, f"{et_dst}/trunk_0", sd, f"{et_src}.trunk.0")
+            # trunk_0 / final_layer are decomposed raw kernels in the TPU
+            # EdgeTransition (concat-free formulation) — same math, kernels
+            # sliced at runtime.
+            _set(p, f"{et_dst}/trunk_0_kernel", _t(sd[f"{et_src}.trunk.0.weight"]))
+            _set(p, f"{et_dst}/trunk_0_bias", sd[f"{et_src}.trunk.0.bias"])
             _linear(p, f"{et_dst}/trunk_1", sd, f"{et_src}.trunk.2")
-            _linear(p, f"{et_dst}/final_layer", sd, f"{et_src}.final_layer")
+            _set(p, f"{et_dst}/final_kernel", _t(sd[f"{et_src}.final_layer.weight"]))
+            _set(p, f"{et_dst}/final_bias", sd[f"{et_src}.final_layer.bias"])
             _layernorm(p, f"{et_dst}/layer_norm", sd, f"{et_src}.layer_norm")
 
     tp_src = "score_model.torsion_pred"

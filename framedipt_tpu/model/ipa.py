@@ -28,6 +28,12 @@ from framedipt_tpu.tools.config import IPAConfig, ModelConfig
 
 F32 = jnp.float32
 
+# Kernel init for the decomposed EdgeTransition trunk_0 (matches Linear's
+# "relu" trunc-normal fan-in init; fan_in = first shape dim).
+from framedipt_tpu.model.layers import trunc_normal_initializer  # noqa: E402
+
+_KERNEL_INIT_RELU = trunc_normal_initializer(2.0)
+
 
 def _apply_frames(mats: jnp.ndarray, trans: jnp.ndarray, pts: jnp.ndarray):
     """Apply per-residue frames [B,N,3,3]/[B,N,3] to points [B,N,P,3]."""
@@ -181,27 +187,63 @@ class EdgeTransition(nn.Module):
 
     @nn.compact
     def __call__(self, node_embed: jnp.ndarray, edge_embed: jnp.ndarray):
+        """TPU optimization: the reference concatenates
+        [edge | node_i | node_j] into an [B, N, N, C_e + 2*C_b] tensor before
+        its MLP (ipa_pytorch.py:84-102). Here the first and residual matmuls
+        are decomposed by kernel rows — the node_i/node_j contributions are
+        [B, N, hidden] matmuls broadcast-added over rows/columns — so the
+        N^2-wide concat never exists and ~2/3 of the first matmul's N^2
+        FLOPs become O(N). Bit-compatible with imported reference weights
+        (kernels are sliced, not reshaped)."""
         bias_size = self.node_embed_size // self.node_dilation
         node_bias = Linear(
             bias_size, w_init="relu", dtype=self.dtype, name="initial_embed"
         )(node_embed)
         B, N, _ = node_bias.shape
-        edge_bias = jnp.concatenate(
-            [
-                jnp.tile(node_bias[:, :, None, :], (1, 1, N, 1)),
-                jnp.tile(node_bias[:, None, :, :], (1, N, 1, 1)),
-            ],
-            axis=-1,
+        c_e = edge_embed.shape[-1]
+        hidden = c_e + 2 * bias_size
+
+        # trunk_0 decomposed: concat([e, bi, bj]) @ W0
+        #   = e @ W0[:c_e] + bi @ W0[c_e:c_e+b] + bj @ W0[c_e+b:].
+        w0 = self.param(
+            "trunk_0_kernel",
+            _KERNEL_INIT_RELU,
+            (hidden, hidden),
+        ).astype(self.dtype)
+        b0 = self.param(
+            "trunk_0_bias", nn.initializers.zeros_init(), (hidden,)
+        ).astype(self.dtype)
+        e_term = jnp.einsum(
+            "bije,eh->bijh", edge_embed, w0[:c_e], preferred_element_type=self.dtype
         )
-        x = jnp.concatenate([edge_embed, edge_bias], axis=-1)
-        y = x
-        for i in range(self.num_layers):
-            y = Linear(x.shape[-1], w_init="relu", dtype=self.dtype, name=f"trunk_{i}")(y)
-            y = jax.nn.relu(y)
-        x = Linear(
-            self.edge_embed_out, w_init="final", dtype=self.dtype, name="final_layer"
-        )(y + x)
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        i_term = node_bias @ w0[c_e : c_e + bias_size]
+        j_term = node_bias @ w0[c_e + bias_size :]
+        y = jax.nn.relu(
+            e_term + i_term[:, :, None, :] + j_term[:, None, :, :] + b0
+        )
+        y = Linear(hidden, w_init="relu", dtype=self.dtype, name="trunk_1")(y)
+        y = jax.nn.relu(y)
+
+        # final_layer decomposed over the residual concat likewise.
+        wf = self.param(
+            "final_kernel", nn.initializers.zeros_init(), (hidden, self.edge_embed_out)
+        ).astype(self.dtype)
+        bf = self.param(
+            "final_bias", nn.initializers.zeros_init(), (self.edge_embed_out,)
+        ).astype(self.dtype)
+        out = (
+            jnp.einsum(
+                "bijh,ho->bijo", y, wf, preferred_element_type=self.dtype
+            )
+            + jnp.einsum(
+                "bije,eo->bijo", edge_embed, wf[:c_e],
+                preferred_element_type=self.dtype,
+            )
+            + (node_bias @ wf[c_e : c_e + bias_size])[:, :, None, :]
+            + (node_bias @ wf[c_e + bias_size :])[:, None, :, :]
+            + bf
+        )
+        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(out)
 
 
 class SeqTransformerLayer(nn.Module):

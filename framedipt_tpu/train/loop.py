@@ -95,10 +95,53 @@ def build_train_step(
         )(jax.random.split(k_marg, b), batch["rigids_0"], t, diffuse_mask)
         return t, marg
 
+    def recycle_rigids(params, batch, rigids_t7, t, key):
+        """Training-time recycling (cfg.experiment.recycle, ref
+        experiments/utils.py:440-508 semantics reconstructed): noise to a
+        later timestep ('max' -> t=1, 'next' -> t+dt), run the model without
+        gradient, take one reverse step back to t, and feed that structure
+        as the model input."""
+        k_noise, k_rev = jax.random.split(key)
+        dt = 1.0 / cfg.data.num_t
+        if exp_conf.recycle.mode == "max":
+            t_recycle = jnp.ones_like(t)
+        else:  # "next"
+            t_recycle = jnp.minimum(t + dt, 1.0)
+        diffuse_mask = (
+            1.0 - batch["fixed_mask"].astype(jnp.float32)
+        ) * batch["res_mask"].astype(jnp.float32)
+        b = t.shape[0]
+        marg_r = jax.vmap(
+            lambda k, r0_t7, t_i, m: diffuser.forward_marginal(
+                k, Rigid.from_tensor7(r0_t7), t_i, diffuse_mask=m
+            )
+        )(jax.random.split(k_noise, b), batch["rigids_0"], t_recycle, diffuse_mask)
+        feats_r = build_model_feats(
+            batch, marg_r.rigids_t.to_tensor7(), t_recycle,
+            jnp.zeros_like(rigids_t7[..., 4:]),
+        )
+        out_r = model.apply(params, feats_r)
+        out_r = jax.lax.stop_gradient(out_r)
+        reversed_r = jax.vmap(
+            lambda k, r7, rs, ts, t_i, m: diffuser.reverse(
+                k, Rigid.from_tensor7(r7), rs, ts, t_i, dt, diffuse_mask=m
+            ).to_tensor7()
+        )(
+            jax.random.split(k_rev, b),
+            marg_r.rigids_t.to_tensor7(),
+            out_r["rot_score"],
+            out_r["trans_score"],
+            t_recycle,
+            diffuse_mask,
+        )
+        return reversed_r
+
     def loss_fn(params, batch, key):
-        k_noise, k_sc = jax.random.split(key)
+        k_noise, k_sc, k_recycle = jax.random.split(key, 3)
         t, marg = noise_batch(batch, k_noise)
         rigids_t7 = marg.rigids_t.to_tensor7()
+        if exp_conf.recycle.enabled:
+            rigids_t7 = recycle_rigids(params, batch, rigids_t7, t, k_recycle)
 
         # Ground-truth idealized backbone atoms from the clean frames.
         gt_psi = batch["torsion_angles_sin_cos"][..., 2, :]
