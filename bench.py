@@ -25,14 +25,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 TARGET_STEPS_PER_SEC = 100.0  # 500-step CDR3 sample in <5 s (BASELINE.md)
 
 
-def bench_variant(num_res: int, num_t: int, compute_dtype: str) -> float:
+def bench_variant(
+    num_res: int, num_t: int, compute_dtype: str, use_pallas: bool = False
+) -> float:
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.sampling import build_inference_fn
 
     cfg, diffuser, model = _make_model()
-    if compute_dtype != "float32":
+    if compute_dtype != "float32" or use_pallas:
         mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
+        mc.ipa = dataclasses.replace(mc.ipa, use_pallas_kernel=use_pallas)
         model = ScoreNetwork(mc, diffuser, inpainting=True)
 
     feats = _make_feats(1, num_res)
@@ -54,13 +57,15 @@ def bench_variant(num_res: int, num_t: int, compute_dtype: str) -> float:
 
 def main() -> None:
     results = {}
-    for name, (num_res, num_t, dtype) in {
-        "len256_f32": (256, 100, "float32"),
-        "len256_bf16": (256, 100, "bfloat16"),
-        "len512_bf16": (512, 100, "bfloat16"),
+    for name, (num_res, num_t, dtype, pallas) in {
+        "len256_f32": (256, 100, "float32", False),
+        "len256_bf16": (256, 100, "bfloat16", False),
+        "len256_bf16_pallas": (256, 100, "bfloat16", True),
+        "len512_bf16": (512, 100, "bfloat16", False),
+        
     }.items():
         try:
-            sps = bench_variant(num_res, num_t, dtype)
+            sps = bench_variant(num_res, num_t, dtype, pallas)
             results[name] = round(sps, 2)
             print(f"{name}: {sps:.1f} steps/s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001

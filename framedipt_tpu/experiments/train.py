@@ -159,6 +159,18 @@ def train(cfg: Config) -> None:
     train_step = jax.jit(build_train_step(model, diffuser, cfg, optimizer))
     key = jax.random.PRNGKey(seed + 1)
 
+    from framedipt_tpu.tools.metrics_logger import MetricsLogger
+
+    mlogger = MetricsLogger(ckpt_dir, use_neptune=False)
+    importance = None
+    if cfg.experiment.use_importance_sampling:
+        from framedipt_tpu.train.importance import TimestepImportanceSampler
+
+        importance = TimestepImportanceSampler(
+            num_bins=cfg.experiment.num_bins,
+            history_per_term=cfg.experiment.history_per_term,
+            min_t=cfg.data.min_t,
+        )
     step = int(state.step)
     log_t0 = time.time()
     with mesh:
@@ -172,9 +184,17 @@ def train(cfg: Config) -> None:
                     batch = {
                         k: np.concatenate([v, v[:reps]]) for k, v in batch.items()
                     }
+                if importance is not None:
+                    t_np, w_np = importance.sample(rng, batch["res_mask"].shape[0])
+                    batch = {**batch, "t": t_np, "loss_weight": w_np}
                 sharded = shard_batch(mesh, batch)
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(state, sharded, sub)
+                if importance is not None:
+                    importance.update(
+                        np.asarray(metrics["t"]),
+                        np.asarray(metrics["per_example_loss"]),
+                    )
                 step += 1
 
                 if step % cfg.experiment.log_freq == 0 or step == 1:
@@ -188,6 +208,17 @@ def train(cfg: Config) -> None:
                     logger.info(
                         f"epoch {epoch} step {step}: loss {loss:.4f} "
                         f"({rate:.2f} steps/s) {strat}"
+                    )
+                    mlogger.log(
+                        step,
+                        {
+                            "loss": loss,
+                            "steps_per_sec": rate,
+                            "grad_norm": metrics["grad_norm"],
+                            "trans_loss": metrics["trans_loss"],
+                            "rot_loss": metrics["rot_loss"],
+                            **strat,
+                        },
                     )
                 early = (
                     cfg.experiment.early_ckpt

@@ -118,7 +118,8 @@ def convert_state_dict(
             # sliced at runtime.
             _set(p, f"{et_dst}/trunk_0_kernel", _t(sd[f"{et_src}.trunk.0.weight"]))
             _set(p, f"{et_dst}/trunk_0_bias", sd[f"{et_src}.trunk.0.bias"])
-            _linear(p, f"{et_dst}/trunk_1", sd, f"{et_src}.trunk.2")
+            _set(p, f"{et_dst}/trunk_1_kernel", _t(sd[f"{et_src}.trunk.2.weight"]))
+            _set(p, f"{et_dst}/trunk_1_bias", sd[f"{et_src}.trunk.2.bias"])
             _set(p, f"{et_dst}/final_kernel", _t(sd[f"{et_src}.final_layer.weight"]))
             _set(p, f"{et_dst}/final_bias", sd[f"{et_src}.final_layer.bias"])
             _layernorm(p, f"{et_dst}/layer_norm", sd, f"{et_src}.layer_norm")

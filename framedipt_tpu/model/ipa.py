@@ -184,6 +184,7 @@ class EdgeTransition(nn.Module):
     num_layers: int = 2
     node_dilation: int = 2
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, node_embed: jnp.ndarray, edge_embed: jnp.ndarray):
@@ -194,7 +195,9 @@ class EdgeTransition(nn.Module):
         [B, N, hidden] matmuls broadcast-added over rows/columns — so the
         N^2-wide concat never exists and ~2/3 of the first matmul's N^2
         FLOPs become O(N). Bit-compatible with imported reference weights
-        (kernels are sliced, not reshaped)."""
+        (kernels are sliced, not reshaped). With ``use_pallas`` the whole
+        MLP chain runs as one fused VMEM-resident kernel
+        (model/pallas/edge_transition.py) — inference only."""
         bias_size = self.node_embed_size // self.node_dilation
         node_bias = Linear(
             bias_size, w_init="relu", dtype=self.dtype, name="initial_embed"
@@ -203,46 +206,64 @@ class EdgeTransition(nn.Module):
         c_e = edge_embed.shape[-1]
         hidden = c_e + 2 * bias_size
 
-        # trunk_0 decomposed: concat([e, bi, bj]) @ W0
-        #   = e @ W0[:c_e] + bi @ W0[c_e:c_e+b] + bj @ W0[c_e+b:].
         w0 = self.param(
-            "trunk_0_kernel",
-            _KERNEL_INIT_RELU,
-            (hidden, hidden),
+            "trunk_0_kernel", _KERNEL_INIT_RELU, (hidden, hidden)
         ).astype(self.dtype)
         b0 = self.param(
             "trunk_0_bias", nn.initializers.zeros_init(), (hidden,)
         ).astype(self.dtype)
-        e_term = jnp.einsum(
-            "bije,eh->bijh", edge_embed, w0[:c_e], preferred_element_type=self.dtype
-        )
-        i_term = node_bias @ w0[c_e : c_e + bias_size]
-        j_term = node_bias @ w0[c_e + bias_size :]
-        y = jax.nn.relu(
-            e_term + i_term[:, :, None, :] + j_term[:, None, :, :] + b0
-        )
-        y = Linear(hidden, w_init="relu", dtype=self.dtype, name="trunk_1")(y)
-        y = jax.nn.relu(y)
-
-        # final_layer decomposed over the residual concat likewise.
+        w1 = self.param(
+            "trunk_1_kernel", _KERNEL_INIT_RELU, (hidden, hidden)
+        ).astype(self.dtype)
+        b1 = self.param(
+            "trunk_1_bias", nn.initializers.zeros_init(), (hidden,)
+        ).astype(self.dtype)
         wf = self.param(
             "final_kernel", nn.initializers.zeros_init(), (hidden, self.edge_embed_out)
         ).astype(self.dtype)
         bf = self.param(
             "final_bias", nn.initializers.zeros_init(), (self.edge_embed_out,)
         ).astype(self.dtype)
-        out = (
-            jnp.einsum(
-                "bijh,ho->bijo", y, wf, preferred_element_type=self.dtype
+
+        # O(N) row/column terms shared by both execution paths.
+        i_term = node_bias @ w0[c_e : c_e + bias_size]
+        j_term = node_bias @ w0[c_e + bias_size :]
+        fi = node_bias @ wf[c_e : c_e + bias_size]
+        fj = node_bias @ wf[c_e + bias_size :]
+
+        if self.use_pallas:
+            from framedipt_tpu.model.pallas.edge_transition import (
+                fused_edge_transition,
             )
-            + jnp.einsum(
-                "bije,eo->bijo", edge_embed, wf[:c_e],
+
+            out = fused_edge_transition(
+                edge_embed, i_term, j_term, fi, fj,
+                w0[:c_e], b0, w1, b1, wf, wf[:c_e], bf,
+            )
+        else:
+            # trunk_0 decomposed: concat([e, bi, bj]) @ W0
+            #   = e @ W0[:c_e] + bi @ W0[c_e:c_e+b] + bj @ W0[c_e+b:].
+            e_term = jnp.einsum(
+                "bije,eh->bijh", edge_embed, w0[:c_e],
                 preferred_element_type=self.dtype,
             )
-            + (node_bias @ wf[c_e : c_e + bias_size])[:, :, None, :]
-            + (node_bias @ wf[c_e + bias_size :])[:, None, :, :]
-            + bf
-        )
+            y = jax.nn.relu(
+                e_term + i_term[:, :, None, :] + j_term[:, None, :, :] + b0
+            )
+            y = jax.nn.relu(
+                jnp.einsum("bijh,hk->bijk", y, w1, preferred_element_type=self.dtype)
+                + b1
+            )
+            out = (
+                jnp.einsum("bijh,ho->bijo", y, wf, preferred_element_type=self.dtype)
+                + jnp.einsum(
+                    "bije,eo->bijo", edge_embed, wf[:c_e],
+                    preferred_element_type=self.dtype,
+                )
+                + fi[:, :, None, :]
+                + fj[:, None, :, :]
+                + bf
+            )
         return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(out)
 
 
@@ -374,6 +395,7 @@ class IpaTrunk(nn.Module):
                     node_embed_size=ipa_conf.c_s,
                     edge_embed_out=self.conf.edge_embed_size,
                     dtype=dtype,
+                    use_pallas=ipa_conf.use_pallas_kernel,
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed)
                 edge_embed = edge_embed * edge_mask[..., None].astype(dtype)

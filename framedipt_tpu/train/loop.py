@@ -83,7 +83,12 @@ def build_train_step(
     def noise_batch(batch, key):
         b = batch["res_mask"].shape[0]
         k_t, k_marg = jax.random.split(key)
-        t = jax.random.uniform(k_t, (b,), minval=min_t, maxval=1.0)
+        # Importance sampling supplies host-sampled timesteps via batch["t"]
+        # (train/importance.py); otherwise t ~ U(min_t, 1).
+        if "t" in batch:
+            t = batch["t"]
+        else:
+            t = jax.random.uniform(k_t, (b,), minval=min_t, maxval=1.0)
         rigids_0 = Rigid.from_tensor7(batch["rigids_0"].astype(jnp.float32))
         diffuse_mask = (
             1.0 - batch["fixed_mask"].astype(jnp.float32)
@@ -185,6 +190,12 @@ def build_train_step(
             diffuse_rot=diffuser.diffuse_rot,
             diffuse_trans=diffuser.diffuse_trans,
         )
+        if "loss_weight" in batch:
+            # Unbiased reweighting under importance-sampled timesteps.
+            per_ex = terms["per_example_loss"] * batch["loss_weight"]
+            total = jnp.mean(per_ex)
+            terms["per_example_loss"] = per_ex
+            terms["total_loss"] = total
         terms["t"] = t
         return total, terms
 
