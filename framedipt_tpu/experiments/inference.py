@@ -177,6 +177,106 @@ class Inference:
             self.run_unconditional_sampling()
 
     def run_conditional_sampling(self) -> None:
+        if self.cfg.inference.inpainting_samples.batch_samples:
+            self._run_conditional_batched()
+        else:
+            self._run_conditional_serial()
+
+    def _run_conditional_batched(self) -> None:
+        """All S samples of a test case in one batched scan — S model
+        forwards per step fuse into one program (the reference runs
+        samples serially, experiments/inference.py:318-330)."""
+        run = self._get_run_fn()
+        samples_per_case = self.cfg.inference.inpainting_samples.samples
+        n_examples = len(self.sampler) // samples_per_case
+        for ex in range(n_examples):
+            items = [
+                self.sampler[ex * samples_per_case + s]
+                for s in range(samples_per_case)
+            ]
+            pdb_name = items[0][0]
+            batched = {
+                k: np.concatenate([it[2][k] for it in items], axis=0)
+                for k in items[0][2]
+            }
+            self._write_case_context(pdb_name, batched)
+            length_dir = self._length_dir(pdb_name, batched)
+            todo = [
+                s
+                for s, _ in enumerate(items)
+                if not (length_dir / f"sample_{s}" / f"sample_{s}_1.pdb").exists()
+            ]
+            if not todo:
+                continue
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.cfg.inference.seed), ex
+            )
+            with exp_utils.Timer() as timer:
+                out = run(self._params, _to_device(batched), key)
+                out = {k: np.asarray(v) for k, v in out.items()}
+            logger.info(
+                f"{pdb_name}: {samples_per_case} samples x "
+                f"{self.cfg.inference.diffusion.num_t} steps in {timer.elapsed:.2f}s"
+            )
+            res_mask = batched["res_mask"][0].astype(bool)
+            fixed_mask = batched["fixed_mask"][0].astype(bool)
+            diffused_mask = (~fixed_mask) & res_mask
+            aatype = batched["aatype"][0].astype(np.int64)
+            for s in todo:
+                sample_dir = length_dir / f"sample_{s}"
+                sample_dir.mkdir(parents=True, exist_ok=True)
+                self.save_traj(
+                    out["prot_traj"][:, s][:, res_mask],
+                    out["rigid_0_traj"][:, s][:, res_mask],
+                    diffused_mask[res_mask],
+                    output_dir=sample_dir,
+                    sample_idx=s,
+                    aatype=aatype[res_mask],
+                    residue_index=batched["residue_index"][0][res_mask],
+                    chain_index=batched["chain_idx"][0][res_mask],
+                )
+
+    def _length_dir(self, pdb_name: str, feats: dict) -> pathlib.Path:
+        res_mask = feats["res_mask"][0].astype(bool)
+        fixed_mask = feats["fixed_mask"][0].astype(bool)
+        num_diffused = int(((~fixed_mask) & res_mask).sum())
+        d = self.output_dir / f"{pdb_name}_length_{num_diffused}"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _write_case_context(self, pdb_name: str, feats: dict) -> None:
+        """Ground-truth PDB + diffusion_info.csv for a test case."""
+        res_mask = feats["res_mask"][0].astype(bool)
+        fixed_mask = feats["fixed_mask"][0].astype(bool)
+        diffused_mask = (~fixed_mask) & res_mask
+        aatype = feats["aatype"][0].astype(np.int64)
+        seq = rc.aatype_to_sequence(aatype[res_mask])
+        length_dir = self._length_dir(pdb_name, feats)
+        gt_pdb_path = length_dir / f"{pdb_name}_1.pdb"
+        if not gt_pdb_path.exists():
+            gt_atom37, gt_mask37, _, _ = frames.compute_backbone(
+                Rigid.from_tensor7(jnp.asarray(feats["rigids_0"][:1])),
+                jnp.asarray(feats["torsion_angles_sin_cos"][:1, :, 2, :]),
+                aatype=jnp.asarray(feats["aatype"][:1]),
+            )
+            gt_prot = np.asarray(gt_atom37 * gt_mask37[..., None])[0]
+            b_factors = np.tile((diffused_mask * 100.0)[:, None], (1, 37))
+            analysis_utils.write_prot_to_pdb(
+                gt_prot[res_mask],
+                length_dir / pdb_name,
+                aatype=aatype[res_mask],
+                b_factors=b_factors[res_mask],
+                residue_index=feats["residue_index"][0][res_mask],
+                chain_index=feats["chain_idx"][0][res_mask],
+            )
+        info_path = length_dir / "diffusion_info.csv"
+        if not info_path.exists():
+            exp_utils.save_diffusion_info(
+                length_dir, pdb_name, seq,
+                diffused_mask[res_mask], feats["chain_idx"][0][res_mask],
+            )
+
+    def _run_conditional_serial(self) -> None:
         run = self._get_run_fn()
         for item_idx, (pdb_name, sample_i, feats) in enumerate(self.sampler):
             res_mask = feats["res_mask"][0].astype(bool)

@@ -19,8 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from framedipt_tpu.model.layers import MLP
+from framedipt_tpu.model.layers import Linear, MLP, trunc_normal_initializer
 from framedipt_tpu.tools.config import ModelConfig
+
+# First edge layer uses the zoo's "default" (LeCun trunc-normal) init.
+_EDGE_W0_INIT = trunc_normal_initializer(1.0)
 
 
 def get_index_embedding(
@@ -101,25 +104,13 @@ class Embedder(nn.Module):
             prot_t_embed = jnp.concatenate([t_embed, fixed_mask_c], axis=-1)
 
         node_feats = [prot_t_embed]
-        # Cross-concat: [B, N, N, 2*C] pair features from node features.
-        pair_feats = [
-            jnp.concatenate(
-                [
-                    jnp.tile(prot_t_embed[:, :, None, :], (1, 1, num_res, 1)),
-                    jnp.tile(prot_t_embed[:, None, :, :], (1, num_res, 1, 1)),
-                ],
-                axis=-1,
-            )
-        ]
-
         node_feats.append(get_index_embedding(seq_idx, embed_conf.index_embed_size))
         rel_offset = seq_idx[:, :, None] - seq_idx[:, None, :]
-        pair_feats.append(
-            get_index_embedding(rel_offset, embed_conf.index_embed_size)
-        )
+        rel_embed = get_index_embedding(rel_offset, embed_conf.index_embed_size)
 
+        pairwise_feats = [rel_embed]
         if embed_conf.embed_self_conditioning:
-            pair_feats.append(
+            pairwise_feats.append(
                 calc_distogram(
                     self_conditioning_ca,
                     embed_conf.min_bin,
@@ -134,10 +125,45 @@ class Embedder(nn.Module):
             dtype=self.dtype,
             name="node_embedder",
         )(jnp.concatenate(node_feats, axis=-1))
-        edge_embed = MLP(
-            (self.conf.edge_embed_size,) * 3,
-            final_layer_norm=True,
-            dtype=self.dtype,
-            name="edge_embedder",
-        )(jnp.concatenate(pair_feats, axis=-1))
+
+        # Edge MLP with a concat-free first layer. The reference feeds
+        # concat([node_i, node_j, rel_embed, (distogram)]) [B, N, N, .] to
+        # its first Linear (score_network.py:114-127, 176-195). Kernel rows
+        # are sliced so the cross-concat contributions become O(N) matmuls
+        # broadcast over rows/columns; the genuinely pairwise features
+        # (rel offsets, distogram) keep their N^2 matmul. Weight-import
+        # compatible (row slices of the same kernel).
+        c_t = prot_t_embed.shape[-1]
+        pair_rest = jnp.concatenate(pairwise_feats, axis=-1)
+        c_rest = pair_rest.shape[-1]
+        hidden = self.conf.edge_embed_size
+        w0 = self.param(
+            "edge_embedder_w0",
+            _EDGE_W0_INIT,
+            (2 * c_t + c_rest, hidden),
+        )
+        b0 = self.param(
+            "edge_embedder_b0", nn.initializers.zeros_init(), (hidden,)
+        )
+        w0 = w0.astype(self.dtype or jnp.float32)
+        prot_c = prot_t_embed.astype(w0.dtype)
+        i_term = prot_c @ w0[:c_t]
+        j_term = prot_c @ w0[c_t : 2 * c_t]
+        rest_term = jnp.einsum(
+            "bijf,fh->bijh",
+            pair_rest.astype(w0.dtype),
+            w0[2 * c_t :],
+            preferred_element_type=w0.dtype,
+        )
+        x = (
+            rest_term
+            + i_term[:, :, None, :]
+            + j_term[:, None, :, :]
+            + b0.astype(w0.dtype)
+        )
+        x = jax.nn.relu(x)
+        x = Linear(hidden, dtype=self.dtype, name="edge_linear_1")(x)
+        x = jax.nn.relu(x)
+        x = Linear(hidden, dtype=self.dtype, name="edge_linear_2")(x)
+        edge_embed = nn.LayerNorm(dtype=self.dtype, name="edge_layer_norm")(x)
         return node_embed, edge_embed

@@ -59,9 +59,20 @@ def convert_state_dict(
     }
     p: dict = {}
 
-    # Embedder.
+    # Embedder. Node MLP maps 1:1; the edge MLP's first layer is the
+    # decomposed raw kernel (concat-free formulation in model/embed.py).
     _mlp(p, "embedding_layer/node_embedder", sd, "embedding_layer.node_embedder")
-    _mlp(p, "embedding_layer/edge_embedder", sd, "embedding_layer.edge_embedder")
+    _set(
+        p,
+        "embedding_layer/edge_embedder_w0",
+        _t(sd["embedding_layer.edge_embedder.0.weight"]),
+    )
+    _set(p, "embedding_layer/edge_embedder_b0", sd["embedding_layer.edge_embedder.0.bias"])
+    _linear(p, "embedding_layer/edge_linear_1", sd, "embedding_layer.edge_embedder.2")
+    _linear(p, "embedding_layer/edge_linear_2", sd, "embedding_layer.edge_embedder.4")
+    _layernorm(
+        p, "embedding_layer/edge_layer_norm", sd, "embedding_layer.edge_embedder.5"
+    )
 
     trunk = "score_model.trunk"
     for b in range(num_blocks):

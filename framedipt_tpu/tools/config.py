@@ -217,6 +217,9 @@ class InferenceSamplesConfig:
 @dataclass
 class InpaintingSamplesConfig:
     samples: int = 5
+    # Batch all samples of a test case into one device program (TPU-native
+    # replacement for the reference's one-sample-at-a-time loop).
+    batch_samples: bool = True
     tcr: bool = True
     cdr_loops: list[str] = field(default_factory=lambda: ["beta_3"])
     start_idx: int | None = None
