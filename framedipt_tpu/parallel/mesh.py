@@ -23,6 +23,28 @@ DP_AXIS = "dp"
 FSDP_AXIS = "fsdp"
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization for TPU pods (call once before make_mesh).
+
+    On Cloud TPU the arguments are auto-detected from the environment; pass
+    them explicitly elsewhere. After this, ``jax.devices()`` spans the whole
+    pod and the (dp, fsdp) mesh lays data parallelism over ICI first, DCN
+    across slices — the TPU-native replacement for the reference's off-repo
+    DDP/NCCL setup (SURVEY.md §2.9)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     devices: Sequence[jax.Device] | None = None,
     dp_size: int = -1,
