@@ -27,6 +27,26 @@ def _install_bio_stub():
     bio.PDB = bio_pdb
     sys.modules["Bio"] = bio
     sys.modules["Bio.PDB"] = bio_pdb
+    # GPUtil (reference's device picker) — never exercised in parity tests.
+    gputil = types.ModuleType("GPUtil")
+    gputil.getAvailable = lambda *a, **k: []
+    sys.modules.setdefault("GPUtil", gputil)
+    # hydra (reference CLI glue) — only HydraConfig is touched at import.
+    hydra = types.ModuleType("hydra")
+    hydra_core = types.ModuleType("hydra.core")
+    hydra_cfg = types.ModuleType("hydra.core.hydra_config")
+
+    class _HydraConfig:  # pragma: no cover - import-time stub
+        @staticmethod
+        def get():
+            raise RuntimeError("hydra not available in tests")
+
+    hydra_cfg.HydraConfig = _HydraConfig
+    hydra.core = hydra_core
+    hydra_core.hydra_config = hydra_cfg
+    sys.modules.setdefault("hydra", hydra)
+    sys.modules.setdefault("hydra.core", hydra_core)
+    sys.modules.setdefault("hydra.core.hydra_config", hydra_cfg)
     # pairwise2 (used by framedipt/protein/align.py).
     pairwise2 = types.ModuleType("Bio.pairwise2")
     bio.pairwise2 = pairwise2
