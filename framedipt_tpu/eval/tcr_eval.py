@@ -67,6 +67,25 @@ def _region_residue_sel(
     return sel
 
 
+def compute_sasa_metrics(
+    gt: Protein, pred: Protein, info: dict
+) -> dict[str, float]:
+    """Mean RSA over the diffused regions + RSA error vs ground truth
+    (role of the reference's SASA/RSA registries,
+    evaluation/utils/metrics.py:419-718). O(N^2) per structure — enable
+    with --sasa."""
+    sel = _region_residue_sel(pred, info["chains"], info["regions"])
+    rsa_pred = eval_metrics.relative_sasa(pred)
+    rsa_gt = eval_metrics.relative_sasa(gt)
+    ok = sel & np.isfinite(rsa_pred) & np.isfinite(rsa_gt)
+    if not ok.any():
+        return {"rsa_mean": np.nan, "rsa_error": np.nan}
+    return {
+        "rsa_mean": float(np.mean(rsa_pred[ok])),
+        "rsa_error": float(np.mean(np.abs(rsa_pred[ok] - rsa_gt[ok]))),
+    }
+
+
 def compute_sample_metrics(
     gt: Protein, pred: Protein, info: dict
 ) -> dict[str, float]:
@@ -106,6 +125,7 @@ def run(
     output_dir: pathlib.Path | None = None,
     strategies=sel_lib.SAMPLE_SELECTION_STRATEGIES,
     make_plots: bool = True,
+    with_sasa: bool = False,
 ) -> pd.DataFrame:
     prediction_dir = pathlib.Path(prediction_dir)
     output_dir = pathlib.Path(output_dir or prediction_dir / "evaluation")
@@ -124,6 +144,8 @@ def run(
         for i, (path, pred) in enumerate(zip(sample_paths, preds)):
             row = {"pdb_name": pdb_name, "sample": i, "path": str(path)}
             row.update(compute_sample_metrics(gt, pred, info))
+            if with_sasa:
+                row.update(compute_sasa_metrics(gt, pred, info))
             all_rows.append(row)
 
         # Sample selection over diffusion-region backbone coords.
@@ -190,11 +212,13 @@ def main() -> None:
     ap.add_argument("--prediction_dir", required=True)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--no_plots", action="store_true")
+    ap.add_argument("--sasa", action="store_true", help="compute RSA metrics")
     args = ap.parse_args()
     df = run(
         pathlib.Path(args.prediction_dir),
         pathlib.Path(args.output_dir) if args.output_dir else None,
         make_plots=not args.no_plots,
+        with_sasa=args.sasa,
     )
     if len(df):
         logger.info(
