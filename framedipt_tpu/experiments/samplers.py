@@ -16,12 +16,10 @@ import pandas as pd
 
 import jax
 
-from framedipt_tpu.data import constants as rc
 from framedipt_tpu.data import features as feature_lib
 from framedipt_tpu.data import tcr as tcr_lib
 from framedipt_tpu.data.mmcif import parse_mmcif
 from framedipt_tpu.diffusion import SE3Diffuser
-from framedipt_tpu.diffusion.se3_diffuser import assemble_rigid, extract_trans_rotvec
 from framedipt_tpu.geometry.rigid import Rigid
 from framedipt_tpu.tools.config import Config
 from framedipt_tpu.tools.log import get_logger

@@ -14,8 +14,6 @@ import pathlib
 import shutil
 import subprocess
 
-import numpy as np
-
 from framedipt_tpu.tools.log import get_logger
 
 logger = get_logger()
