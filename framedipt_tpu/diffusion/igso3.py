@@ -18,6 +18,7 @@ import hashlib
 import os
 import pathlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,6 +74,27 @@ def score_ratio(
     )
     dsigma = jnp.sum(dsigma, axis=-1)
     return dsigma / (exp_vals + 1e-4)
+
+
+def score_autograd(
+    omega: jnp.ndarray, eps: jnp.ndarray, truncation: int = TRUNCATION_LEVEL
+) -> jnp.ndarray:
+    """d/d omega log f(omega; eps) by automatic differentiation.
+
+    The reference carries a second, DiffDock-lineage IGSO3 implementation
+    whose score is autograd of the log-density (framedipt/diffusion/
+    igso3.py:51). Here that is one jax.grad over the same series —
+    numerically interchangeable with the quotient-rule ``score_ratio`` (the
+    regularizers differ by the +1e-4 denominator term)."""
+
+    def log_f(o, e):
+        return jnp.log(expansion(o, e, truncation) + 1e-12)
+
+    grad_fn = jax.grad(log_f, argnums=0)
+    flat_o = omega.reshape(-1)
+    flat_e = jnp.broadcast_to(eps, omega.shape).reshape(-1)
+    out = jax.vmap(grad_fn)(flat_o, flat_e)
+    return out.reshape(omega.shape)
 
 
 # --------------------------------------------------------------------------

@@ -279,3 +279,17 @@ class TestSE3Masking:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestAutogradScore:
+    def test_matches_quotient_rule(self):
+        # The two formulations agree where the density is well-conditioned;
+        # at large omega the quotient rule's +1e-4 denominator regularizer
+        # (ref so3_diffuser.py:191) dominates the tiny expansion and the
+        # curves intentionally diverge.
+        omega = jnp.linspace(0.3, 2.1, 7)
+        eps = jnp.full((7,), 0.7)
+        exp_vals = igso3.expansion(omega, eps)
+        quotient = np.asarray(igso3.score_ratio(exp_vals, omega, eps))
+        autograd = np.asarray(igso3.score_autograd(omega, eps))
+        np.testing.assert_allclose(autograd, quotient, rtol=2e-3)
