@@ -276,6 +276,26 @@ class Inference:
                 diffused_mask[res_mask], feats["chain_idx"][0][res_mask],
             )
 
+        if self.cfg.inference.inpainting_samples.run_esmfold:
+            esmf_path = length_dir / "esmf_pred.pdb"
+            if not esmf_path.exists():
+                from framedipt_tpu.tools import external
+
+                try:
+                    # Fold chains separately, as the reference does for
+                    # multimers via ':'-joined sequences.
+                    chains = np.unique(feats["chain_idx"][0][res_mask])
+                    seqs = [
+                        rc.aatype_to_sequence(
+                            aatype[res_mask][feats["chain_idx"][0][res_mask] == c]
+                        )
+                        for c in chains
+                    ]
+                    pdb_str = external.esmfold_predict(":".join(seqs))
+                    esmf_path.write_text(pdb_str)
+                except external.ToolUnavailable as e:
+                    logger.warning(f"ESMFold prediction skipped: {e}")
+
     def _run_conditional_serial(self) -> None:
         run = self._get_run_fn()
         for item_idx, (pdb_name, sample_i, feats) in enumerate(self.sampler):

@@ -133,7 +133,8 @@ def convert_state_dict(
             _set(p, f"{et_dst}/trunk_1_bias", sd[f"{et_src}.trunk.2.bias"])
             _set(p, f"{et_dst}/final_kernel", _t(sd[f"{et_src}.final_layer.weight"]))
             _set(p, f"{et_dst}/final_bias", sd[f"{et_src}.final_layer.bias"])
-            _layernorm(p, f"{et_dst}/layer_norm", sd, f"{et_src}.layer_norm")
+            _set(p, f"{et_dst}/ln_scale", sd[f"{et_src}.layer_norm.weight"])
+            _set(p, f"{et_dst}/ln_bias", sd[f"{et_src}.layer_norm.bias"])
 
     tp_src = "score_model.torsion_pred"
     tp_dst = "score_model/torsion_pred"

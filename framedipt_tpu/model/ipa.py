@@ -224,6 +224,12 @@ class EdgeTransition(nn.Module):
         bf = self.param(
             "final_bias", nn.initializers.zeros_init(), (self.edge_embed_out,)
         ).astype(self.dtype)
+        ln_scale = self.param(
+            "ln_scale", nn.initializers.ones_init(), (self.edge_embed_out,)
+        )
+        ln_bias = self.param(
+            "ln_bias", nn.initializers.zeros_init(), (self.edge_embed_out,)
+        )
 
         # O(N) row/column terms shared by both execution paths.
         i_term = node_bias @ w0[c_e : c_e + bias_size]
@@ -236,9 +242,10 @@ class EdgeTransition(nn.Module):
                 fused_edge_transition,
             )
 
-            out = fused_edge_transition(
+            # LayerNorm is fused inside the kernel.
+            return fused_edge_transition(
                 edge_embed, i_term, j_term, fi, fj,
-                w0[:c_e], b0, w1, b1, wf, wf[:c_e], bf,
+                w0[:c_e], b0, w1, b1, wf, wf[:c_e], bf, ln_scale, ln_bias,
             )
         else:
             # trunk_0 decomposed: concat([e, bi, bj]) @ W0
@@ -264,7 +271,14 @@ class EdgeTransition(nn.Module):
                 + fj[:, None, :, :]
                 + bf
             )
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(out)
+        # Manual LayerNorm with the shared raw params (f32 statistics),
+        # matching nn.LayerNorm semantics.
+        out32 = out.astype(jnp.float32)
+        mean = jnp.mean(out32, axis=-1, keepdims=True)
+        centered = out32 - mean
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+        normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        return normed.astype(self.dtype)
 
 
 class SeqTransformerLayer(nn.Module):

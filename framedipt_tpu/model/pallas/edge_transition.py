@@ -46,6 +46,8 @@ def _edge_transition_kernel(
     wfy_ref,  # [H, C_out]
     wfe_ref,  # [C_e, C_out]
     bf_ref,  # [1, C_out]
+    ln_scale_ref,  # [1, C_out]
+    ln_bias_ref,  # [1, C_out]
     out_ref,  # [1, TI, TJ, C_out]
 ):
     _, ti, tj, c_e = edge_ref.shape
@@ -73,7 +75,16 @@ def _edge_transition_kernel(
     c_out = out.shape[-1]
     out = out.reshape(ti, tj, c_out)
     out = out + fi_ref[0][:, None, :] + fj_ref[0][None, :, :]
-    out_ref[0] = (out + bf_ref[:].reshape(1, 1, c_out)).astype(out_ref.dtype)
+    out = out + bf_ref[:].reshape(1, 1, c_out)
+    # Fused LayerNorm (float32 statistics) — absorbing it here removes the
+    # extra HBM pass XLA would otherwise schedule outside the custom call.
+    mean = jnp.mean(out, axis=-1, keepdims=True)
+    centered = out - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + 1e-6)
+    normed = normed * ln_scale_ref[:].reshape(1, 1, c_out).astype(F32)
+    normed = normed + ln_bias_ref[:].reshape(1, 1, c_out).astype(F32)
+    out_ref[0] = normed.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
@@ -90,10 +101,12 @@ def fused_edge_transition(
     wfy: jnp.ndarray,  # [H, C_out]
     wfe: jnp.ndarray,  # [C_e, C_out]
     bf: jnp.ndarray,  # [C_out]
+    ln_scale: jnp.ndarray,  # [C_out]
+    ln_bias: jnp.ndarray,  # [C_out]
     tile_i: int = 32,
     tile_j: int = 128,
 ) -> jnp.ndarray:
-    """Returns the pre-LayerNorm edge-transition output [B, N, N, C_out]."""
+    """Returns the LayerNorm'd edge-transition output [B, N, N, C_out]."""
     B, N, _, c_e = edge.shape
     h = w0e.shape[1]
     c_out = wfy.shape[1]
@@ -144,6 +157,8 @@ def fused_edge_transition(
             pl.BlockSpec((h, c_out), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c_e, c_out), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_i, tile_j, c_out),
@@ -169,5 +184,7 @@ def fused_edge_transition(
         wfy.astype(dtype),
         wfe.astype(dtype),
         bf.reshape(1, -1).astype(dtype),
+        ln_scale.reshape(1, -1).astype(dtype),
+        ln_bias.reshape(1, -1).astype(dtype),
     )
     return out[:, :N, :N, :]

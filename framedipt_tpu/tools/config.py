@@ -221,6 +221,9 @@ class InpaintingSamplesConfig:
     # replacement for the reference's one-sample-at-a-time loop).
     batch_samples: bool = True
     tcr: bool = True
+    # Save an ESMFold prediction of the full sequence next to the ground
+    # truth (reference inference.py:291-305); requires ESMFold weights.
+    run_esmfold: bool = False
     cdr_loops: list[str] = field(default_factory=lambda: ["beta_3"])
     start_idx: int | None = None
     end_idx: int | None = None
