@@ -40,6 +40,8 @@ from framedipt_tpu.model import ScoreNetwork
 from framedipt_tpu.model.import_torch import convert_state_dict, load_torch_checkpoint
 from framedipt_tpu.sampling import build_inference_fn
 from framedipt_tpu.sampling.confidence import logp_confidence_score
+from dataclasses import asdict as dataclasses_asdict
+
 from framedipt_tpu.tools.config import Config, load_config, merge_checkpoint_config, save_config
 from framedipt_tpu.tools.log import get_logger
 
@@ -79,24 +81,51 @@ class Inference:
     # -- setup ------------------------------------------------------------------
 
     def _load_checkpoint(self) -> None:
+        """Accepts either a reference torch ``.pth`` file or one of this
+        framework's orbax checkpoint directories (``.../step_N`` or a ckpt
+        root containing them); checkpoint model/diffuser config wins over the
+        runtime config, as in the reference (inference.py:126-159)."""
         cfg = self.raw_cfg
         self._ckpt_state_dict = None
+        self._orbax_params = None
         weights_path = cfg.inference.weights_path
-        if weights_path and pathlib.Path(weights_path).exists():
+        path = pathlib.Path(weights_path) if weights_path else None
+        if path and path.is_dir():
+            from framedipt_tpu.train.checkpoints import (
+                latest_checkpoint,
+                load_checkpoint,
+            )
+
+            ckpt_dir = path if (path / "state").exists() else latest_checkpoint(path)
+            if ckpt_dir is None:
+                logger.warning(f"no checkpoints under {path}; using random init")
+            else:
+                state, ckpt_cfg = load_checkpoint(ckpt_dir)
+                self._orbax_params = state["params"]
+                if ckpt_cfg is not None:
+                    cfg = merge_checkpoint_config(
+                        cfg,
+                        {
+                            "model": dataclasses_asdict(ckpt_cfg.model),
+                            "diffuser": dataclasses_asdict(ckpt_cfg.diffuser),
+                        },
+                    )
+                    logger.info("merged model/diffuser config from orbax checkpoint")
+        elif path and path.exists():
             state_dict, ckpt_conf = load_torch_checkpoint(weights_path)
             self._ckpt_state_dict = state_dict
             if ckpt_conf:
                 cfg = merge_checkpoint_config(cfg, ckpt_conf)
                 logger.info("merged model/diffuser config from checkpoint")
-        else:
-            if weights_path:
-                logger.warning(
-                    f"weights not found at {weights_path}; using random init"
-                )
+        elif weights_path:
+            logger.warning(f"weights not found at {weights_path}; using random init")
         self._cfg = cfg
         self.diffuser = SE3Diffuser(cfg.diffuser)
 
     def _init_or_import_params(self):
+        if self._orbax_params is not None:
+            logger.info("loaded orbax checkpoint weights")
+            return jax.tree_util.tree_map(jnp.asarray, self._orbax_params)
         if self._ckpt_state_dict is not None:
             params = convert_state_dict(
                 self._ckpt_state_dict,
