@@ -264,6 +264,24 @@ class Inference:
                     residue_index=batched["residue_index"][0][res_mask],
                     chain_index=batched["chain_idx"][0][res_mask],
                 )
+                if self.cfg.inference.confidence_score == "eigenfold":
+                    sample_feats = {
+                        k: v[s : s + 1] for k, v in batched.items()
+                    }
+                    score = logp_confidence_score(
+                        self.model,
+                        self._params,
+                        self.diffuser,
+                        _to_device(sample_feats),
+                        np.asarray(out["final_rigids"][s : s + 1]),
+                        (diffused_mask[None]).astype(np.float32),
+                        num_t=self.cfg.inference.diffusion.num_t,
+                        min_t=self.cfg.inference.diffusion.min_t,
+                        key=jax.random.fold_in(key, 1000 + s),
+                    )
+                    (sample_dir / "confidence_score.txt").write_text(
+                        f"{float(score)}\n"
+                    )
 
     def _length_dir(self, pdb_name: str, feats: dict) -> pathlib.Path:
         res_mask = feats["res_mask"][0].astype(bool)
