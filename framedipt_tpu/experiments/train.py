@@ -143,9 +143,18 @@ def train(cfg: Config) -> None:
         str(ckpt_dir) if latest_checkpoint(ckpt_dir) else None
     )
     if resume and latest_checkpoint(resume):
-        restored, _ = load_checkpoint(latest_checkpoint(resume), target=state._asdict())
+        # Restore against a fully-structured target (incl. the epoch field)
+        # so optax state keeps its pytree structure.
+        target = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": 0,
+        }
+        restored, _ = load_checkpoint(latest_checkpoint(resume), target=target)
         state = state._replace(
-            step=restored["step"], params=restored["params"],
+            step=restored["step"],
+            params=restored["params"],
             opt_state=restored["opt_state"],
         )
         logger.info(f"resumed from step {int(state.step)}")

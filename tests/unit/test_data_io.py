@@ -153,3 +153,18 @@ class TestAlign:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_gzip_mmcif(tmp_path):
+    import gzip
+    import pathlib
+    import shutil
+
+    from framedipt_tpu.data.mmcif import parse_mmcif
+
+    src = pathlib.Path(__file__).parent.parent / "data" / "cifs" / "7t2d-assembly1.cif"
+    gz = tmp_path / "7t2d.cif.gz"
+    with open(src, "rb") as f, gzip.open(gz, "wb") as g:
+        shutil.copyfileobj(f, g)
+    obj = parse_mmcif(gz)
+    assert sorted(obj.chains) == ["A", "B", "C", "D", "E"]
