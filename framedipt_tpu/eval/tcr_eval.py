@@ -132,6 +132,7 @@ def run(
     output_dir.mkdir(parents=True, exist_ok=True)
 
     all_rows = []
+    residue_rows = []
     strategy_rows: dict[str, list] = {s: [] for s in strategies}
 
     for length_dir, gt_path, info, sample_paths in traverse_prediction_dir(
@@ -147,6 +148,25 @@ def run(
             if with_sasa:
                 row.update(compute_sasa_metrics(gt, pred, info))
             all_rows.append(row)
+            # Per-residue granularity with the reference's middle-averaged
+            # position scheme (evaluation/utils/metrics.py:728).
+            per_res = eval_metrics.residue_backbone_rmsd(
+                pred, gt, info["chains"], info["regions"], info["regions"]
+            )
+            from framedipt_tpu.eval.plots import middle_average
+
+            for chain_role, values in per_res.items():
+                collapsed = middle_average(np.asarray(values))
+                for pos, v in enumerate(collapsed):
+                    residue_rows.append(
+                        {
+                            "pdb_name": pdb_name,
+                            "sample": i,
+                            "chain": chain_role,
+                            "position": pos,
+                            "backbone_rmsd": float(v),
+                        }
+                    )
 
         # Sample selection over diffusion-region backbone coords.
         sel_res = _region_residue_sel(preds[0], info["chains"], info["regions"])
@@ -172,6 +192,10 @@ def run(
 
     df_all = pd.DataFrame(all_rows)
     df_all.to_csv(output_dir / "eval_metrics_all.csv", index=False)
+    if residue_rows:
+        pd.DataFrame(residue_rows).to_csv(
+            output_dir / "eval_metrics_residue.csv", index=False
+        )
     for strategy, rows in strategy_rows.items():
         pd.DataFrame(rows).to_csv(
             output_dir / f"eval_metrics_{strategy}.csv", index=False
