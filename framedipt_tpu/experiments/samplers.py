@@ -205,7 +205,7 @@ class TCRSampler(ConditionalSampler):
         self.cdr_loops = [
             _canonical_loop(c) for c in cfg.inference.inpainting_samples.cdr_loops
         ]
-        self.shifted_region = None
+        self.shifted_region = cfg.inference.inpainting_samples.shifted_region
 
     def create_diffusion_mask(
         self, chain_feats: dict[str, np.ndarray], example_idx: int

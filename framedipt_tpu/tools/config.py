@@ -221,6 +221,9 @@ class InpaintingSamplesConfig:
     # replacement for the reference's one-sample-at-a-time loop).
     batch_samples: bool = True
     tcr: bool = True
+    # CDR3 flank ablations: diffuse the region before/after the loop instead
+    # (ref framedipt/protein/tcr.py:65-124 shifted_region).
+    shifted_region: str | None = None
     # Save an ESMFold prediction of the full sequence next to the ground
     # truth (reference inference.py:291-305); requires ESMFold weights.
     run_esmfold: bool = False
