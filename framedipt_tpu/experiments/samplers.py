@@ -102,18 +102,30 @@ class ConditionalSampler:
     def create_diffusion_mask(
         self, chain_feats: dict[str, np.ndarray], example_idx: int
     ) -> np.ndarray:
-        """Random contiguous redaction per chain; fixed per-example rng seed
-        (ref sampler.py:226-257)."""
+        """Random contiguous redaction per chain with a fixed per-example
+        rng seed (ref sampler.py:226-257); or, when
+        inpainting_samples.start_idx/end_idx are set, that explicit region
+        of the first chain."""
         if example_idx in self._mask_cache:
             return self._mask_cache[example_idx]
-        rng = np.random.default_rng(example_idx)
-        mask = feature_lib.create_redacted_regions(
-            chain_feats["chain_idx"],
-            chain_feats["res_mask"],
-            rng,
-            redact_min_len=self.cfg.data.redaction.redact_min_len,
-            redact_max_len=self.cfg.data.redaction.redact_max_len,
-        )
+        start = self.cfg.inference.inpainting_samples.start_idx
+        end = self.cfg.inference.inpainting_samples.end_idx
+        if start is not None and end is not None:
+            mask = np.zeros_like(chain_feats["res_mask"])
+            first_chain = chain_feats["chain_idx"] == np.unique(
+                chain_feats["chain_idx"]
+            )[0]
+            rows = np.where(first_chain)[0][start : end + 1]
+            mask[rows] = 1
+        else:
+            rng = np.random.default_rng(example_idx)
+            mask = feature_lib.create_redacted_regions(
+                chain_feats["chain_idx"],
+                chain_feats["res_mask"],
+                rng,
+                redact_min_len=self.cfg.data.redaction.redact_min_len,
+                redact_max_len=self.cfg.data.redaction.redact_max_len,
+            )
         self._mask_cache[example_idx] = mask
         return mask
 
