@@ -536,18 +536,21 @@ class Inference:
             b_factors=b_factors,
             **common,
         )
-        traj_path = analysis_utils.write_prot_to_pdb(
-            bb_prot_traj,
-            output_dir / f"bb_traj_{sample_idx}",
-            b_factors=b_factors,
-            **common,
-        )
-        x0_path = analysis_utils.write_prot_to_pdb(
-            x0_traj,
-            output_dir / f"x0_traj_{sample_idx}",
-            b_factors=b_factors,
-            **common,
-        )
+        traj_path = x0_path = None
+        if self.cfg.inference.save_backbone_trajectory:
+            traj_path = analysis_utils.write_prot_to_pdb(
+                bb_prot_traj,
+                output_dir / f"bb_traj_{sample_idx}",
+                b_factors=b_factors,
+                **common,
+            )
+        if self.cfg.inference.save_pred_x0_trajectory:
+            x0_path = analysis_utils.write_prot_to_pdb(
+                x0_traj,
+                output_dir / f"x0_traj_{sample_idx}",
+                b_factors=b_factors,
+                **common,
+            )
         return {
             "sample_path": sample_path,
             "traj_path": traj_path,
