@@ -68,6 +68,31 @@ class TrainDataset:
         logger.info(f"dataset: {len(self.meta)} structures after filters")
         self._cache: dict[int, dict] = {}
 
+        # Cluster-balanced sampling (ref config data.cluster_file /
+        # num_clusters): examples weighted 1/cluster_size so large sequence
+        # families don't dominate an epoch.
+        self.sample_weights = None
+        if cfg.data.cluster_file:
+            clusters = pd.read_csv(
+                cfg.data.cluster_file,
+                sep=None,
+                engine="python",
+                names=["pdb_name", "cluster"],
+                header=0 if "pdb" in open(cfg.data.cluster_file).readline() else None,
+            )
+            cluster_of = dict(
+                zip(clusters["pdb_name"].astype(str), clusters["cluster"])
+            )
+            assigned = self.meta["pdb_name"].astype(str).map(cluster_of)
+            sizes = assigned.value_counts()
+            w = np.asarray(
+                [1.0 / sizes.get(c, 1) if pd.notna(c) else 1.0 for c in assigned]
+            )
+            self.sample_weights = w / w.sum()
+            logger.info(
+                f"cluster sampling over {assigned.nunique()} clusters"
+            )
+
     def _features(self, idx: int) -> dict:
         if idx not in self._cache:
             with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
@@ -98,7 +123,13 @@ class TrainDataset:
     def batches(self, batch_size: int):
         """Yield stacked batches of same-bucket examples each epoch."""
         lengths = self.meta["modeled_seq_len"].to_numpy()
-        order = self.rng.permutation(len(self.meta))
+        if self.sample_weights is not None:
+            order = self.rng.choice(
+                len(self.meta), size=len(self.meta), replace=True,
+                p=self.sample_weights,
+            )
+        else:
+            order = self.rng.permutation(len(self.meta))
         buckets: dict[int, list[int]] = {}
         for idx in order:
             b = feature_lib.length_bucket(int(lengths[idx]))
