@@ -196,40 +196,82 @@ def _sphere_points(n: int = 100) -> np.ndarray:
     )
 
 
-def shrake_rupley_sasa(
-    prot: Protein, n_points: int = 100
-) -> np.ndarray:
-    """Per-residue solvent-accessible surface area (A^2)."""
+def _atom_arrays(prot: Protein):
+    """Flattened (coords, radii incl. probe, residue ids) of present atoms.
+
+    Element inference: atom37 names start with their element letter for all
+    backbone/sidechain heavy atoms in the AF2 atom37 vocabulary (N*, C*, O*,
+    S[DG]) — there are no two-letter elements (SE of MSE is mapped to MET/SD
+    upstream, data/mmcif.py), so the first character is exact, not heuristic.
+    """
     mask = prot.atom_mask.astype(bool)
     coords = prot.atom_positions[mask]
-    elements = np.asarray(
-        [rc.atom_types[j][0] for _ in range(prot.atom_mask.shape[0]) for j in range(37)]
-    ).reshape(prot.atom_mask.shape)[mask]
-    res_ids = np.repeat(np.arange(len(prot.aatype)), 37).reshape(
-        prot.atom_mask.shape
+    elem_per_type = np.asarray([t[0] for t in rc.atom_types])
+    elements = np.broadcast_to(
+        elem_per_type[None, :], prot.atom_mask.shape
+    )[mask]
+    res_ids = np.broadcast_to(
+        np.arange(len(prot.aatype))[:, None], prot.atom_mask.shape
     )[mask]
     radii = np.asarray(
         [rc.van_der_waals_radius.get(e, 1.7) for e in elements]
     ) + _PROBE_RADIUS
+    return coords, radii, res_ids
 
-    sphere = _sphere_points(n_points)
+
+def shrake_rupley_sasa(
+    prot: Protein, n_points: int = 100, chunk: int = 256
+) -> np.ndarray:
+    """Per-residue solvent-accessible surface area (A^2).
+
+    Vectorized Shrake-Rupley: the test-sphere burial check runs in blocks of
+    ``chunk`` atoms against only their true neighbours (pairwise-radius
+    cutoff), so the inner O(atoms x points x atoms) tensor never
+    materializes. ~100x faster than a per-atom Python loop on a 500-residue
+    complex (role of BioPython's C-backed SASA in the reference,
+    evaluation/utils/metrics.py:419-718).
+    """
+    coords, radii, res_ids = _atom_arrays(prot)
+    coords = (coords - coords.mean(axis=0)).astype(np.float32)
+    radii = radii.astype(np.float32)
+    sphere = _sphere_points(n_points).astype(np.float32)
     n_atoms = len(coords)
-    areas = np.zeros(n_atoms)
-    # Neighbor lists via a coarse cutoff.
-    max_r = radii.max()
-    for i in range(n_atoms):
-        d = np.linalg.norm(coords - coords[i], axis=-1)
-        neigh = np.where((d < radii[i] + max_r) & (d > 1e-9))[0]
-        pts = coords[i] + sphere * radii[i]
-        if len(neigh):
-            dist2 = np.sum(
-                (pts[:, None, :] - coords[neigh][None, :, :]) ** 2, axis=-1
-            )
-            buried = np.any(dist2 < (radii[neigh][None, :] ** 2), axis=-1)
-        else:
-            buried = np.zeros(len(pts), bool)
-        accessible_frac = 1.0 - buried.mean()
-        areas[i] = 4.0 * np.pi * radii[i] ** 2 * accessible_frac
+
+    # Pairwise neighbour test: j can bury i's surface iff
+    # |x_j - x_i| < r_i + r_j (r includes the probe). GEMM-form squared
+    # distances (|x|^2 + |y|^2 - 2 x.y) — no [A, A, 3] temporary.
+    sq = np.sum(coords**2, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (coords @ coords.T)
+    cut2 = (radii[:, None] + radii[None, :]) ** 2
+    neigh_mat = d2 < cut2
+    np.fill_diagonal(neigh_mat, False)
+
+    # Analytic burial test per neighbour pair. A surface point
+    # p_k = x_i + r_i s_k of atom i is buried by neighbour j iff
+    #   |p_k - x_j|^2 = r_i^2 + 2 r_i s_k.(x_i - x_j) + |x_i - x_j|^2 < r_j^2
+    #   <=>  s_k . v_ij < (r_j^2 - r_i^2 - |v_ij|^2) / (2 r_i),
+    # so the whole structure's burial matrix is ONE [P,3]x[3,nnz] GEMM
+    # against a per-pair scalar threshold, then a segmented OR over each
+    # atom's pair range (rows from np.nonzero are already sorted).
+    rows, cols = np.nonzero(neigh_mat)
+    v = coords[rows] - coords[cols]  # exact subtraction: no cancellation
+    vsq = np.sum(v * v, axis=-1)
+    thresh = (radii[cols] ** 2 - radii[rows] ** 2 - vsq) / (2.0 * radii[rows])
+    buried_pk = (sphere @ v.T) < thresh[None, :]  # [P, nnz]
+
+    # Segmented OR: reduceat over each atom's contiguous pair range. Guard
+    # degree-0 atoms (reduceat misreads empty segments) with a False pad.
+    degree = neigh_mat.sum(axis=1)
+    starts = np.searchsorted(rows, np.arange(n_atoms))
+    padded = np.concatenate(
+        [buried_pk, np.zeros((n_points, 1), bool)], axis=1
+    )
+    buried_ik = np.logical_or.reduceat(
+        padded, np.minimum(starts, padded.shape[1] - 1), axis=1
+    )  # [P, A]
+    buried_ik[:, degree == 0] = False
+    accessible_frac = 1.0 - buried_ik.mean(axis=0)
+    areas = 4.0 * np.pi * radii**2 * accessible_frac
 
     per_res = np.zeros(len(prot.aatype))
     np.add.at(per_res, res_ids, areas)
@@ -246,3 +288,226 @@ def relative_sasa(prot: Protein, sasa: np.ndarray | None = None) -> np.ndarray:
         if one and one in MAX_ASA:
             out[i] = sasa[i] / MAX_ASA[one]
     return out
+
+
+# --------------------------------------------------------------------------
+# Reference-schema metric registries
+#
+# Column naming reproduces evaluation/evaluate_tcr.py:98-133 +
+# evaluation/utils/metrics.py:1210-1259 exactly: nested dicts are flattened
+# with "_" and per-residue positions use the eval-index scheme
+# {1..L-4, -4..-1} so e.g. `bb_rmsd_alpha_-2` is the 2nd-to-last diffused
+# residue of the alpha chain.
+# --------------------------------------------------------------------------
+
+DIHEDRAL_ANGLES = ("phi", "psi", "omega")
+
+
+def convert_to_eval_idx(vals) -> dict[int, float]:
+    """Sequence -> {-4..-1: tail values, 1..len-4: head values}
+    (evaluation/utils/metrics.py:1240-1259)."""
+    if len(vals) <= 4:  # degenerate short region: head-indexed only
+        return {i + 1: v for i, v in enumerate(vals)}
+    val_dict = {}
+    for idx in (-4, -3, -2, -1):
+        val_dict[idx] = vals[idx]
+    for i, val in enumerate(vals[:-4]):
+        val_dict[i + 1] = val
+    return val_dict
+
+
+def flatten(obj, depth: int = -1, delim: str = "_", parent: str = ""):
+    """Flatten nested dicts/lists into {joined_key: leaf}
+    (evaluation/utils/metrics.py:1210-1237)."""
+    if depth == 0:
+        return obj
+    items = []
+    if isinstance(obj, dict):
+        for key, val in obj.items():
+            new_key = f"{parent}{delim}{key}" if parent else str(key)
+            items.extend(flatten(val, depth - 1, delim, new_key).items())
+    elif isinstance(obj, (list, tuple)):
+        for i, val in enumerate(obj):
+            new_key = f"{parent}{delim}{i + 1}"
+            items.extend(flatten(val, depth - 1, delim, new_key).items())
+    else:
+        items.append((parent, obj))
+    return dict(items)
+
+
+# Memoize SASA per Protein instance: the 8 ASA/RSA registry metrics all
+# derive from the same two Shrake-Rupley computations per (gt, sample) pair.
+_SASA_CACHE: dict[int, tuple[Protein, np.ndarray]] = {}
+
+
+def _cached_sasa(prot: Protein) -> np.ndarray:
+    hit = _SASA_CACHE.get(id(prot))
+    if hit is not None and hit[0] is prot:
+        return hit[1]
+    sasa = shrake_rupley_sasa(prot)
+    if len(_SASA_CACHE) > 64:
+        _SASA_CACHE.clear()
+    _SASA_CACHE[id(prot)] = (prot, sasa)
+    return sasa
+
+
+def _region_sasa_rsa(prot: Protein, chains, regions):
+    """{chain_role: asa list}, {chain_role: rsa list} over the regions."""
+    sasa = _cached_sasa(prot)
+    rsa = relative_sasa(prot, sasa)
+    asas, rsas = {}, {}
+    for role, ch, (s, e) in zip(TCR_CHAINS, chains, regions):
+        idx = np.where(_chain_residue_sel(prot, ch))[0][s : e + 1]
+        asas[role] = [float(x) for x in sasa[idx]]
+        rsas[role] = [float(x) for x in rsa[idx]]
+    return asas, rsas
+
+
+def _residue_dict(per_chain: dict[str, list]) -> dict[str, dict[int, float]]:
+    return {k: convert_to_eval_idx(v) for k, v in per_chain.items()}
+
+
+# --- model-level -----------------------------------------------------------
+
+
+def model_bb_rmsd(gt, sample, chains, regions_gt, regions_sample) -> float:
+    return backbone_rmsd(gt, sample, chains, regions_gt, regions_sample)
+
+
+def model_full_atom_rmsd(gt, sample, chains, regions_gt, regions_sample) -> float:
+    return full_atom_rmsd(gt, sample, chains, regions_gt, regions_sample)
+
+
+# --- chain-level -----------------------------------------------------------
+
+
+def chain_bb_rmsd(gt, sample, chains, regions_gt, regions_sample):
+    return chain_backbone_rmsd(gt, sample, chains, regions_gt, regions_sample)
+
+
+# --- residue-level ---------------------------------------------------------
+
+
+def residue_bb_rmsd(gt, sample, chains, regions_gt, regions_sample):
+    return _residue_dict(
+        residue_backbone_rmsd(gt, sample, chains, regions_gt, regions_sample)
+    )
+
+
+def _make_sasa_metric(which: str, kind: str):
+    def fn(gt, sample, chains, regions_gt, regions_sample):
+        if which in ("gt", "both"):
+            gt_asa, gt_rsa = _region_sasa_rsa(gt, chains, regions_gt)
+        if which in ("sample", "both"):
+            s_asa, s_rsa = _region_sasa_rsa(sample, chains, regions_sample)
+        if which == "gt":
+            return _residue_dict(gt_asa if kind == "asa" else gt_rsa)
+        if which == "sample":
+            return _residue_dict(s_asa if kind == "asa" else s_rsa)
+        g = gt_asa if kind.startswith("asa") else gt_rsa
+        s = s_asa if kind.startswith("asa") else s_rsa
+        err = {
+            role: [
+                (a - b) ** 2 if kind.endswith("square_error") else abs(a - b)
+                for a, b in zip(g[role], s[role])
+            ]
+            for role in g
+        }
+        return _residue_dict(err)
+
+    return fn
+
+
+# --- residue-group (dihedral) level ---------------------------------------
+
+
+def _region_dihedrals(prot, chains, regions):
+    """{angle: {chain_role: {eval_idx: degrees}}} over diffused regions."""
+    out: dict[str, dict[str, dict[int, float]]] = {a: {} for a in DIHEDRAL_ANGLES}
+    for role, ch, region in zip(TCR_CHAINS, chains, regions):
+        d = backbone_dihedrals(prot, ch, region)
+        for angle in DIHEDRAL_ANGLES:
+            vals = [float(np.degrees(v)) for v in d[angle]]
+            out[angle][role] = convert_to_eval_idx(vals)
+    return out
+
+
+def group_signed_angle_error(gt, sample, chains, regions_gt, regions_sample):
+    d_gt = _region_dihedrals(gt, chains, regions_gt)
+    d_s = _region_dihedrals(sample, chains, regions_sample)
+    out = {}
+    for angle in DIHEDRAL_ANGLES:
+        out[angle] = {}
+        for role in d_gt[angle]:
+            out[angle][role] = {
+                idx: float(
+                    np.degrees(
+                        angle_error(
+                            np.radians(d_s[angle][role][idx]),
+                            np.radians(d_gt[angle][role][idx]),
+                            signed=True,
+                        )
+                    )
+                )
+                for idx in d_gt[angle][role]
+            }
+    return out
+
+
+def group_angle_error(gt, sample, chains, regions_gt, regions_sample):
+    signed = group_signed_angle_error(gt, sample, chains, regions_gt, regions_sample)
+    return {
+        a: {c: {i: abs(v) for i, v in d.items()} for c, d in cd.items()}
+        for a, cd in signed.items()
+    }
+
+
+def group_sample_angle(gt, sample, chains, regions_gt, regions_sample):
+    return _region_dihedrals(sample, chains, regions_sample)
+
+
+def group_gt_angle(gt, sample, chains, regions_gt, regions_sample):
+    return _region_dihedrals(gt, chains, regions_gt)
+
+
+MODEL_METRIC_NAME_TO_FN = {
+    "bb_rmsd": model_bb_rmsd,
+    "full_atom_rmsd": model_full_atom_rmsd,
+}
+CHAIN_METRIC_NAME_TO_FN = {"bb_rmsd": chain_bb_rmsd}
+RESIDUE_METRIC_NAME_TO_FN = {
+    "bb_rmsd": residue_bb_rmsd,
+    "gt_asa": _make_sasa_metric("gt", "asa"),
+    "sample_asa": _make_sasa_metric("sample", "asa"),
+    "asa_abs_error": _make_sasa_metric("both", "asa_abs_error"),
+    "asa_square_error": _make_sasa_metric("both", "asa_square_error"),
+    "gt_rsa": _make_sasa_metric("gt", "rsa"),
+    "sample_rsa": _make_sasa_metric("sample", "rsa"),
+    "rsa_abs_error": _make_sasa_metric("both", "rsa_abs_error"),
+    "rsa_square_error": _make_sasa_metric("both", "rsa_square_error"),
+}
+RESIDUE_GROUP_METRIC_NAME_TO_FN = {
+    "angle_error": group_angle_error,
+    "signed_angle_error": group_signed_angle_error,
+    "sample": group_sample_angle,
+    "gt": group_gt_angle,
+}
+METRIC_TYPES = {
+    "model_metrics": MODEL_METRIC_NAME_TO_FN,
+    "chain_metrics": CHAIN_METRIC_NAME_TO_FN,
+    "residue_metrics": RESIDUE_METRIC_NAME_TO_FN,
+    "residue_group_metrics": RESIDUE_GROUP_METRIC_NAME_TO_FN,
+}
+
+# Default metric selection (reference config/evaluation.yaml `metrics:`),
+# minus full_atom_rmsd which needs a cg2all full-atom conversion first.
+DEFAULT_METRIC_CFG = {
+    "model_metrics": ["bb_rmsd"],
+    "chain_metrics": ["bb_rmsd"],
+    "residue_metrics": ["bb_rmsd"],
+    "residue_group_metrics": ["angle_error", "signed_angle_error", "sample", "gt"],
+}
+SASA_METRIC_NAMES = [
+    "gt_asa", "sample_asa", "asa_abs_error", "asa_square_error",
+    "gt_rsa", "sample_rsa", "rsa_abs_error", "rsa_square_error",
+]

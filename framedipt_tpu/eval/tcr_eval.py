@@ -28,12 +28,22 @@ from framedipt_tpu.tools.log import get_logger
 logger = get_logger()
 
 
-def parse_diffusion_info(path: pathlib.Path) -> dict:
+def parse_diffusion_info(path: pathlib.Path, cdr_loop_index: int = 0) -> dict:
+    """Parse diffusion_info.csv, selecting one CDR loop pair for multi-loop
+    runs (ref evaluation/evaluate_tcr.py:187-278: with e.g. 3 loops per
+    chain the columns hold [a1,a2,a3,b1,b2,b3]; pick loop ``cdr_loop_index``
+    of each chain)."""
     df = pd.read_csv(path, sep="\t")
     row = df.iloc[0]
     chains = str(row["chain"]).split(",")
     starts = [int(x) for x in str(row["start"]).split(",")]
     ends = [int(x) for x in str(row["end"]).split(",")]
+    if len(chains) > 2:
+        num_loops = len(chains) // 2
+        sel = [cdr_loop_index, num_loops + cdr_loop_index]
+        chains = [chains[i] for i in sel]
+        starts = [starts[i] for i in sel]
+        ends = [ends[i] for i in sel]
     return {
         "pdb_name": row["pdb_name"],
         "seq": row["seq"],
@@ -42,13 +52,13 @@ def parse_diffusion_info(path: pathlib.Path) -> dict:
     }
 
 
-def traverse_prediction_dir(prediction_dir: pathlib.Path):
+def traverse_prediction_dir(prediction_dir: pathlib.Path, cdr_loop_index: int = 0):
     """Yield (length_dir, gt_pdb_path, info, [sample pdb paths])."""
     for length_dir in sorted(prediction_dir.glob("*_length_*")):
         info_path = length_dir / "diffusion_info.csv"
         if not info_path.exists():
             continue
-        info = parse_diffusion_info(info_path)
+        info = parse_diffusion_info(info_path, cdr_loop_index=cdr_loop_index)
         gt_path = length_dir / f"{info['pdb_name']}_1.pdb"
         if not gt_path.exists():
             continue
@@ -84,6 +94,36 @@ def compute_sasa_metrics(
         "rsa_mean": float(np.mean(rsa_pred[ok])),
         "rsa_error": float(np.mean(np.abs(rsa_pred[ok] - rsa_gt[ok]))),
     }
+
+
+def base_metric_columns(info: dict) -> dict:
+    """Reference base columns (evaluation/evaluate_tcr.py:443-456)."""
+    chains, regions = info["chains"], info["regions"]
+    cols = {
+        "pdb_name": info["pdb_name"],
+        "structure_length": len(str(info["seq"])),
+    }
+    for role, ch, (s, e) in zip(("alpha", "beta"), chains, regions):
+        cols[f"tcr_{role}_chain"] = ch
+        cols[f"tcr_{role}_chain_start_idx"] = s
+        cols[f"tcr_{role}_chain_end_idx"] = e
+        cols[f"tcr_{role}_chain_diffused_length"] = e - s + 1
+    return cols
+
+
+def reference_metric_columns(
+    gt: Protein, pred: Protein, info: dict, metric_cfg: dict
+) -> dict:
+    """Flattened registry metrics with the reference's column naming
+    (evaluation/evaluate_tcr.py:405-424): `bb_rmsd`, `bb_rmsd_alpha`,
+    `bb_rmsd_alpha_-2`, `signed_angle_error_psi_beta_1`, ..."""
+    chains, regions = info["chains"], info["regions"]
+    cols: dict = {}
+    for metric_type, registry in eval_metrics.METRIC_TYPES.items():
+        for name in metric_cfg.get(metric_type, []):
+            val = registry[name](gt, pred, chains, regions, regions)
+            cols.update(eval_metrics.flatten({name: val}))
+    return cols
 
 
 def compute_sample_metrics(
@@ -126,25 +166,38 @@ def run(
     strategies=sel_lib.SAMPLE_SELECTION_STRATEGIES,
     make_plots: bool = True,
     with_sasa: bool = False,
+    cdr_loop_index: int = 0,
+    metric_cfg: dict | None = None,
 ) -> pd.DataFrame:
     prediction_dir = pathlib.Path(prediction_dir)
     output_dir = pathlib.Path(output_dir or prediction_dir / "evaluation")
     output_dir.mkdir(parents=True, exist_ok=True)
+    if metric_cfg is None:
+        metric_cfg = {
+            k: list(v) for k, v in eval_metrics.DEFAULT_METRIC_CFG.items()
+        }
+        if with_sasa:
+            metric_cfg["residue_metrics"] = (
+                metric_cfg["residue_metrics"] + eval_metrics.SASA_METRIC_NAMES
+            )
 
     all_rows = []
     residue_rows = []
     strategy_rows: dict[str, list] = {s: [] for s in strategies}
 
     for length_dir, gt_path, info, sample_paths in traverse_prediction_dir(
-        prediction_dir
+        prediction_dir, cdr_loop_index=cdr_loop_index
     ):
         gt = from_pdb_string(gt_path.read_text())
         preds = [from_pdb_string(p.read_text()) for p in sample_paths]
         pdb_name = info["pdb_name"]
 
+        base_cols = base_metric_columns(info)
         for i, (path, pred) in enumerate(zip(sample_paths, preds)):
-            row = {"pdb_name": pdb_name, "sample": i, "path": str(path)}
+            row = dict(base_cols)
+            row.update({"sample_idx": i, "sample": i, "path": str(path)})
             row.update(compute_sample_metrics(gt, pred, info))
+            row.update(reference_metric_columns(gt, pred, info, metric_cfg))
             if with_sasa:
                 row.update(compute_sasa_metrics(gt, pred, info))
             all_rows.append(row)
@@ -181,12 +234,10 @@ def run(
                 chosen = sel_lib.synthesize_protein(
                     preds[0], sel_res, BACKBONE_IDX, result["coords"]
                 )
-            row = {
-                "pdb_name": pdb_name,
-                "strategy": strategy,
-                "selected_sample": result["index"],
-            }
+            row = dict(base_cols)
+            row.update({"strategy": strategy, "selected_sample": result["index"]})
             row.update(compute_sample_metrics(gt, chosen, info))
+            row.update(reference_metric_columns(gt, chosen, info, metric_cfg))
             strategy_rows[strategy].append(row)
         logger.info(f"evaluated {pdb_name}: {len(preds)} samples")
 
@@ -203,7 +254,36 @@ def run(
 
     if make_plots and len(df_all):
         _plots(df_all, output_dir)
+    if with_sasa and len(df_all):
+        _rsa_correlation(df_all, output_dir)
     return df_all
+
+
+def _rsa_correlation(df: pd.DataFrame, output_dir: pathlib.Path) -> None:
+    """GT-vs-sample RSA scatter with Pearson r (the reference's RSA
+    correlation plots, evaluation/utils/plot.py pearson scatter path)."""
+    from framedipt_tpu.eval.plots import pearson_scatter
+
+    pairs = []
+    for col in df.columns:
+        if col.startswith("gt_rsa_"):
+            sample_col = "sample_rsa_" + col[len("gt_rsa_"):]
+            if sample_col in df.columns:
+                pairs.append((col, sample_col))
+    if not pairs:
+        return
+    long = pd.DataFrame(
+        {
+            "gt_rsa": pd.concat([df[g] for g, _ in pairs], ignore_index=True),
+            "sample_rsa": pd.concat(
+                [df[s] for _, s in pairs], ignore_index=True
+            ),
+        }
+    )
+    path, r = pearson_scatter(
+        long, "gt_rsa", "sample_rsa", output_dir / "rsa_correlation.png"
+    )
+    logger.info(f"RSA gt-vs-sample pearson r = {r:.3f} ({path})")
 
 
 def _plots(df: pd.DataFrame, output_dir: pathlib.Path) -> None:
@@ -236,13 +316,18 @@ def main() -> None:
     ap.add_argument("--prediction_dir", required=True)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--no_plots", action="store_true")
-    ap.add_argument("--sasa", action="store_true", help="compute RSA metrics")
+    ap.add_argument("--sasa", action="store_true", help="compute ASA/RSA metrics")
+    ap.add_argument(
+        "--cdr_loop_index", type=int, default=0,
+        help="which CDR loop to evaluate in multi-loop runs (0, 1 or 2)",
+    )
     args = ap.parse_args()
     df = run(
         pathlib.Path(args.prediction_dir),
         pathlib.Path(args.output_dir) if args.output_dir else None,
         make_plots=not args.no_plots,
         with_sasa=args.sasa,
+        cdr_loop_index=args.cdr_loop_index,
     )
     if len(df):
         logger.info(
