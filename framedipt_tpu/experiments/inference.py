@@ -330,14 +330,29 @@ class Inference:
 
                 try:
                     # Fold chains separately, as the reference does for
-                    # multimers via ':'-joined sequences.
+                    # multimers via ':'-joined sequences. For TCR runs the
+                    # first two chains (TCR alpha/beta in np.unique order,
+                    # matching ref experiments/inference.py:455-475) are
+                    # truncated to their variable domains so long constant
+                    # domains don't OOM the folding model.
                     chains = np.unique(feats["chain_idx"][0][res_mask])
-                    seqs = [
-                        rc.aatype_to_sequence(
+                    is_tcr = self.cfg.inference.inpainting_samples.tcr
+                    seqs = []
+                    for cid, c in enumerate(chains):
+                        chain_seq = rc.aatype_to_sequence(
                             aatype[res_mask][feats["chain_idx"][0][res_mask] == c]
                         )
-                        for c in chains
-                    ]
+                        if is_tcr and cid < 2:
+                            from framedipt_tpu.data import tcr as tcr_lib
+
+                            try:
+                                chain_seq = tcr_lib.cut_tcr_sequence(chain_seq)
+                            except (ValueError, KeyError) as exc:
+                                logger.warning(
+                                    f"TCR variable-domain truncation failed "
+                                    f"for chain {c}: {exc}; folding full chain"
+                                )
+                        seqs.append(chain_seq)
                     pdb_str = external.esmfold_predict(":".join(seqs))
                     esmf_path.write_text(pdb_str)
                 except external.ToolUnavailable as e:

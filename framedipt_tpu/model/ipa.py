@@ -185,9 +185,16 @@ class EdgeTransition(nn.Module):
     node_dilation: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    tile_i: int = 32
+    tile_j: int = 128
 
     @nn.compact
-    def __call__(self, node_embed: jnp.ndarray, edge_embed: jnp.ndarray):
+    def __call__(
+        self,
+        node_embed: jnp.ndarray,
+        edge_embed: jnp.ndarray,
+        node_mask: jnp.ndarray | None = None,
+    ):
         """TPU optimization: the reference concatenates
         [edge | node_i | node_j] into an [B, N, N, C_e + 2*C_b] tensor before
         its MLP (ipa_pytorch.py:84-102). Here the first and residual matmuls
@@ -196,8 +203,9 @@ class EdgeTransition(nn.Module):
         N^2-wide concat never exists and ~2/3 of the first matmul's N^2
         FLOPs become O(N). Bit-compatible with imported reference weights
         (kernels are sliced, not reshaped). With ``use_pallas`` the whole
-        MLP chain runs as one fused VMEM-resident kernel
-        (model/pallas/edge_transition.py) — inference only."""
+        MLP chain (+ LayerNorm + edge-mask epilogue when ``node_mask`` is
+        given) runs as one fused VMEM-resident kernel
+        (model/pallas/pair_mlp.py) — inference only."""
         bias_size = self.node_embed_size // self.node_dilation
         node_bias = Linear(
             bias_size, w_init="relu", dtype=self.dtype, name="initial_embed"
@@ -238,14 +246,19 @@ class EdgeTransition(nn.Module):
         fj = node_bias @ wf[c_e + bias_size :]
 
         if self.use_pallas:
-            from framedipt_tpu.model.pallas.edge_transition import (
-                fused_edge_transition,
-            )
+            from framedipt_tpu.model.pallas.pair_mlp import fused_pair_mlp
 
-            # LayerNorm is fused inside the kernel.
-            return fused_edge_transition(
-                edge_embed, i_term, j_term, fi, fj,
-                w0[:c_e], b0, w1, b1, wf, wf[:c_e], bf, ln_scale, ln_bias,
+            mask = (
+                node_mask
+                if node_mask is not None
+                else jnp.ones(node_bias.shape[:2], edge_embed.dtype)
+            )
+            # LayerNorm + edge-mask epilogue are fused inside the kernel.
+            return fused_pair_mlp(
+                edge_embed, i_term, j_term, mask,
+                w0[:c_e], b0, w1, b1, wf, bf, ln_scale, ln_bias,
+                fi=fi, fj=fj, wfe=wf[:c_e],
+                tile_i=self.tile_i, tile_j=self.tile_j,
             )
         else:
             # trunk_0 decomposed: concat([e, bi, bj]) @ W0
@@ -410,9 +423,13 @@ class IpaTrunk(nn.Module):
                     edge_embed_out=self.conf.edge_embed_size,
                     dtype=dtype,
                     use_pallas=ipa_conf.use_pallas_kernel,
+                    tile_i=ipa_conf.pallas_tile_i,
+                    tile_j=ipa_conf.pallas_tile_j,
                     name=f"edge_transition_{b}",
-                )(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None].astype(dtype)
+                )(node_embed, edge_embed, node_mask=node_mask.astype(dtype))
+                if not ipa_conf.use_pallas_kernel:
+                    # Pallas path fuses the edge-mask epilogue in the kernel.
+                    edge_embed = edge_embed * edge_mask[..., None].astype(dtype)
 
         _, psi_pred = TorsionAngles(ipa_conf.c_s, 1, name="torsion_pred")(
             node_embed.astype(F32)

@@ -1,0 +1,245 @@
+"""Fused pairwise-MLP Pallas TPU kernel (edge transitions + embedder edge MLP).
+
+The score network's cost is dominated by the N^2-wide edge stack
+(ref framedipt/model/ipa_pytorch.py:61-102 and score_network.py:176-195).
+Under XLA the [B, N, N, hidden] intermediates of each 2-layer MLP round-trip
+HBM between matmuls: at N=512 / hidden=384 that is ~1 GB of traffic per edge
+transition against only ~137 bf16 GFLOP — 4-5x HBM-bound. This kernel tiles
+the N x N grid into [TI, TJ] blocks and runs the entire chain
+
+    y0  = relu(pair @ W0 + i_term_i + j_term_j + b0)
+    y1  = relu(y0 @ W1 + b1)
+    out = y1 @ Wf (+ pair @ Wf_e + fi_i + fj_j) + bf      # residual variant
+    out = LayerNorm(out) * row_mask_i * col_mask_j         # fused epilogue
+
+in VMEM: HBM traffic is one read of the Cin-wide pair input and one write of
+the Cout-wide output per element. The round-1 lesson (PERF.md "What didn't"):
+a custom call is a fusion boundary, so everything XLA would have fused around
+the MLP (LayerNorm, edge-mask multiply, dtype casts) must live INSIDE the
+kernel — this version fuses the mask epilogue and declares the grid fully
+parallel so Mosaic pipelines tile DMA against the MXU.
+
+Two variants share the kernel body:
+- residual=True: EdgeTransition — final layer consumes (y1 + concat-residual),
+  decomposed as y1 @ Wf + pair @ Wf[:Cin] + row/col node terms.
+- residual=False: the Embedder's edge MLP (first-layer node terms are passed
+  the same way; pairwise-only features feed the first matmul).
+
+All matmuls accumulate in float32 on the MXU; LayerNorm statistics are f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _pair_mlp_kernel(
+    residual: bool,
+    *refs,
+):
+    if residual:
+        (
+            pair_ref, i0_ref, j0_ref, fi_ref, fj_ref, rmask_ref, cmask_ref,
+            w0_ref, b0_ref, w1_ref, b1_ref, wf_ref, wfe_ref, bf_ref,
+            lns_ref, lnb_ref, out_ref,
+        ) = refs
+    else:
+        (
+            pair_ref, i0_ref, j0_ref, rmask_ref, cmask_ref,
+            w0_ref, b0_ref, w1_ref, b1_ref, wf_ref, bf_ref,
+            lns_ref, lnb_ref, out_ref,
+        ) = refs
+        fi_ref = fj_ref = wfe_ref = None
+
+    _, ti, tj, c_in = pair_ref.shape
+    h = w0_ref.shape[1]
+    c_out = wf_ref.shape[1]
+    dtype = pair_ref.dtype
+    pair = pair_ref[0].reshape(ti * tj, c_in)
+
+    # y0 = relu(pair @ W0 + i_term + j_term + b0). Intermediates stay in the
+    # compute dtype: VMEM is the scarce resource (f32 would halve tile size).
+    y0 = jnp.dot(pair, w0_ref[:], preferred_element_type=F32)
+    y0 = y0.reshape(ti, tj, h) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
+    y0 = jax.nn.relu(y0 + b0_ref[:].reshape(1, 1, h)).astype(dtype)
+
+    # y1 = relu(y0 @ W1 + b1)
+    y1 = jnp.dot(y0.reshape(ti * tj, h), w1_ref[:], preferred_element_type=F32)
+    y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, h)).astype(dtype)
+
+    # Final projection (+ decomposed concat-residual for EdgeTransition).
+    out = jnp.dot(y1, wf_ref[:], preferred_element_type=F32)
+    if residual:
+        out = out + jnp.dot(pair, wfe_ref[:], preferred_element_type=F32)
+    out = out.reshape(ti, tj, c_out)
+    if residual:
+        out = out + fi_ref[0][:, None, :] + fj_ref[0][None, :, :]
+    out = out + bf_ref[:].reshape(1, 1, c_out)
+
+    # Fused LayerNorm (f32 statistics, matching flax nn.LayerNorm eps=1e-6)
+    # + edge-mask epilogue, so no elementwise pass survives outside the call.
+    mean = jnp.mean(out, axis=-1, keepdims=True)
+    centered = out - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + 1e-6)
+    normed = normed * lns_ref[:].reshape(1, 1, c_out).astype(F32)
+    normed = normed + lnb_ref[:].reshape(1, 1, c_out).astype(F32)
+    # Masks arrive pre-oriented — rows as [TI, 1] (sublane), cols as
+    # [1, TJ] (lane) — so the outer product is a plain broadcast and the
+    # BlockSpecs satisfy the TPU lane-alignment rules (a [1, TI]-style
+    # lane-dim tile would need 128-multiple offsets).
+    # f32 before the minor-dim insert: Mosaic only supports [:, :, None]
+    # reshapes for 32-bit element types.
+    mask = rmask_ref[0].astype(F32) * cmask_ref[0].astype(F32)  # [TI, TJ]
+    out_ref[0] = (normed * mask[:, :, None]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_i", "tile_j", "interpret"),
+)
+def fused_pair_mlp(
+    pair: jnp.ndarray,  # [B, N, N, C_in]
+    i_term: jnp.ndarray,  # [B, N, H]    (row node term of the first layer)
+    j_term: jnp.ndarray,  # [B, N, H]    (col node term of the first layer)
+    node_mask: jnp.ndarray,  # [B, N]    (edge mask = outer product, fused)
+    w0: jnp.ndarray,  # [C_in, H]
+    b0: jnp.ndarray,  # [H]
+    w1: jnp.ndarray,  # [H, H]
+    b1: jnp.ndarray,  # [H]
+    wf: jnp.ndarray,  # [H, C_out]
+    bf: jnp.ndarray,  # [C_out]
+    ln_scale: jnp.ndarray,  # [C_out]
+    ln_bias: jnp.ndarray,  # [C_out]
+    *,
+    fi: jnp.ndarray | None = None,  # [B, N, C_out] (row residual term)
+    fj: jnp.ndarray | None = None,  # [B, N, C_out] (col residual term)
+    wfe: jnp.ndarray | None = None,  # [C_in, C_out] (pair residual kernel)
+    tile_i: int = 32,
+    tile_j: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked-LayerNorm pair MLP output, [B, N, N, C_out]."""
+    residual = wfe is not None
+    B, N, _, c_in = pair.shape
+    h = w0.shape[1]
+    c_out = wf.shape[1]
+    dtype = pair.dtype
+
+    pad_i = (-N) % tile_i
+    pad_j = (-N) % tile_j
+    if pad_i or pad_j:
+        pair = jnp.pad(pair, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
+        i_term = jnp.pad(i_term, ((0, 0), (0, pad_i), (0, 0)))
+        j_term = jnp.pad(j_term, ((0, 0), (0, pad_j), (0, 0)))
+        if residual:
+            fi = jnp.pad(fi, ((0, 0), (0, pad_i), (0, 0)))
+            fj = jnp.pad(fj, ((0, 0), (0, pad_j), (0, 0)))
+    rmask = jnp.pad(node_mask, ((0, 0), (0, pad_i))) if pad_i else node_mask
+    cmask = jnp.pad(node_mask, ((0, 0), (0, pad_j))) if pad_j else node_mask
+    n_rows, n_cols = pair.shape[1], pair.shape[2]
+
+    grid = (B, n_rows // tile_i, n_cols // tile_j)
+    row_spec = lambda t, c: pl.BlockSpec(  # noqa: E731
+        (1, t, c), lambda b, i, j: (b, i if t == tile_i else j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, tile_i, tile_j, c_in),
+            lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile_i, h), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, tile_j, h), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [pair, i_term.astype(dtype), j_term.astype(dtype)]
+    if residual:
+        in_specs += [
+            pl.BlockSpec(
+                (1, tile_i, c_out), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_j, c_out), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        args += [fi.astype(dtype), fj.astype(dtype)]
+    in_specs += [
+        pl.BlockSpec(
+            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, tile_j), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
+        ),
+        full_spec(c_in, h),
+        full_spec(1, h),
+        full_spec(h, h),
+        full_spec(1, h),
+        full_spec(h, c_out),
+    ]
+    args += [
+        rmask.astype(dtype)[:, :, None],  # [B, N, 1]: rows in sublane dim
+        cmask.astype(dtype)[:, None, :],  # [B, 1, N]: cols in lane dim
+
+        w0.astype(dtype),
+        b0.reshape(1, -1).astype(dtype),
+        w1.astype(dtype),
+        b1.reshape(1, -1).astype(dtype),
+        wf.astype(dtype),
+    ]
+    if residual:
+        in_specs.append(full_spec(c_in, c_out))
+        args.append(wfe.astype(dtype))
+    in_specs += [full_spec(1, c_out)] * 3
+    args += [
+        bf.reshape(1, -1).astype(dtype),
+        ln_scale.reshape(1, -1).astype(F32),
+        ln_bias.reshape(1, -1).astype(F32),
+    ]
+
+    flops_per_elem = 2 * (c_in * h + h * h + h * c_out)
+    if residual:
+        flops_per_elem += 2 * c_in * c_out
+    out = pl.pallas_call(
+        functools.partial(_pair_mlp_kernel, residual),
+        out_shape=jax.ShapeDtypeStruct((B, n_rows, n_cols, c_out), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_i, tile_j, c_out),
+            lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * n_rows * n_cols * flops_per_elem,
+            bytes_accessed=B
+            * n_rows
+            * n_cols
+            * (c_in + c_out)
+            * pair.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if pad_i or pad_j:
+        out = out[:, :N, :N, :]
+    return out

@@ -82,8 +82,12 @@ class IPAConfig:
     seq_tfmr_num_layers: int = 2
     num_blocks: int = 4
     coordinate_scaling: float = 0.1
-    # TPU-specific: use the fused Pallas IPA kernel when available.
+    # TPU-specific: use the fused Pallas pair-MLP kernel (edge transitions).
     use_pallas_kernel: bool = False
+    # Pallas tile shape over the N x N edge grid (elements per tile should
+    # stay ~4096 to fit bf16 intermediates in VMEM).
+    pallas_tile_i: int = 32
+    pallas_tile_j: int = 128
 
 
 @dataclass

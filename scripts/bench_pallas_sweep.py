@@ -1,0 +1,79 @@
+"""Sweep the fused pair-MLP kernel tile configs in the full sampler on TPU.
+
+For each (length, variant) prints steps/s measured exactly like bench.py
+(full self-conditioned reverse sampler in one lax.scan, PRNG key varied per
+repetition so the remote executor cannot dedupe).
+
+Usage: python scripts/bench_pallas_sweep.py [--num_t 50] [--lens 512 256]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+sys.path.insert(0, ".")
+
+
+def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16"):
+    from __graft_entry__ import _make_feats, _make_model
+    from framedipt_tpu.model import ScoreNetwork
+    from framedipt_tpu.sampling import build_inference_fn
+
+    cfg, diffuser, model = _make_model()
+    mc = dataclasses.replace(cfg.model, compute_dtype=dtype)
+    mc.ipa = dataclasses.replace(
+        mc.ipa,
+        use_pallas_kernel=use_pallas,
+        pallas_tile_i=tile[0],
+        pallas_tile_j=tile[1],
+    )
+    model = ScoreNetwork(mc, diffuser, inpainting=True)
+    feats = _make_feats(1, num_res)
+    params = model.init(jax.random.PRNGKey(0), feats)
+    run = build_inference_fn(
+        model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.1,
+        inpainting=True, aux_traj=False,
+    )
+    out = run(params, feats, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(params, feats, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return num_t / min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_t", type=int, default=100)
+    ap.add_argument("--lens", type=int, nargs="+", default=[512, 256])
+    ap.add_argument(
+        "--tiles", type=str, nargs="+", default=["32x128", "16x256", "8x512"]
+    )
+    args = ap.parse_args()
+
+    for n in args.lens:
+        sps = bench(n, args.num_t, use_pallas=False)
+        print(f"len{n} xla: {sps:.1f} steps/s", flush=True)
+        for tile_s in args.tiles:
+            ti, tj = map(int, tile_s.split("x"))
+            if tj > n:
+                continue
+            try:
+                sps = bench(n, args.num_t, use_pallas=True, tile=(ti, tj))
+                print(f"len{n} pallas {ti}x{tj}: {sps:.1f} steps/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"len{n} pallas {ti}x{tj} FAILED: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
