@@ -62,7 +62,7 @@ def main() -> None:
         "len256_bf16": (256, 100, "bfloat16", False),
         "len256_bf16_pallas": (256, 100, "bfloat16", True),
         "len512_bf16": (512, 100, "bfloat16", False),
-        
+        "len512_bf16_pallas": (512, 100, "bfloat16", True),
     }.items():
         try:
             sps = bench_variant(num_res, num_t, dtype, pallas)

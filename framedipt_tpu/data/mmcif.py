@@ -18,15 +18,57 @@ import numpy as np
 from framedipt_tpu.data import constants as rc
 from framedipt_tpu.tools.errors import MmcifParsingError
 
-# Common non-standard residue mapping (selenomethionine etc.).
+# Common non-standard residue mapping (selenomethionine, frequent PTMs and
+# crystallization artifacts; extended per mmCIF via _chem_comp parents —
+# the role of BioPython's SCOPData/PDBData tables in the reference's parser,
+# framedipt/data/parsers.py + mmcif_parsing.py:173-420).
 _MODIFIED_RESIDUES = {
-    "MSE": "MET",
-    "SEC": "CYS",
-    "PYL": "LYS",
-    "SEP": "SER",
-    "TPO": "THR",
-    "PTR": "TYR",
+    "MSE": "MET",  # selenomethionine
+    "SEC": "CYS",  # selenocysteine
+    "PYL": "LYS",  # pyrrolysine
+    "SEP": "SER",  # phosphoserine
+    "TPO": "THR",  # phosphothreonine
+    "PTR": "TYR",  # phosphotyrosine
+    "CSO": "CYS",  # s-hydroxycysteine
+    "CSD": "CYS",  # s-cysteinesulfinic acid
+    "CSX": "CYS",  # s-oxy cysteine
+    "CME": "CYS",  # s,s-(2-hydroxyethyl)thiocysteine
+    "OCS": "CYS",  # cysteine sulfonic acid
+    "SMC": "CYS",  # s-methylcysteine
+    "KCX": "LYS",  # lysine nz-carboxylic acid
+    "MLY": "LYS",  # n-dimethyl-lysine
+    "M3L": "LYS",  # n-trimethyl-lysine
+    "ALY": "LYS",  # n(6)-acetyllysine
+    "LLP": "LYS",  # lysine-pyridoxal-5'-phosphate
+    "HYP": "PRO",  # 4-hydroxyproline
+    "PCA": "GLU",  # pyroglutamic acid
+    "CGU": "GLU",  # gamma-carboxy-glutamic acid
+    "FME": "MET",  # n-formylmethionine
+    "MHO": "MET",  # s-oxymethionine
+    "HIC": "HIS",  # 4-methyl-histidine
+    "NEP": "HIS",  # n1-phosphonohistidine
+    "MLZ": "LYS",  # n-methyl-lysine
+    "AIB": "ALA",  # alpha-aminoisobutyric acid
+    "DAL": "ALA",  # d-alanine (keep backbone)
+    "SAR": "GLY",  # sarcosine
 }
+
+
+def _chem_comp_parents(cats) -> dict[str, str]:
+    """Per-file modified-residue map from _chem_comp.mon_nstd_parent_comp_id
+    (general: covers any annotated nonstandard residue, not just the static
+    table)."""
+    cc = cats.get("_chem_comp", {})
+    ids = cc.get("id", [])
+    parents = cc.get("mon_nstd_parent_comp_id", [])
+    out = {}
+    for comp, parent in zip(ids, parents):
+        parent = parent.strip().upper()
+        if parent in ("?", ".", "") or "," in parent:
+            continue
+        if comp not in rc.restype_3to1 and parent in rc.restype_3to1:
+            out[comp] = parent
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -211,6 +253,7 @@ def parse_mmcif(
     atom_site = cats.get("_atom_site")
     if not atom_site or "Cartn_x" not in atom_site:
         raise MmcifParsingError(f"no _atom_site records in {path}")
+    mod_residues = {**_MODIFIED_RESIDUES, **_chem_comp_parents(cats)}
 
     def col(name, default=None):
         vals = atom_site.get(name)
@@ -239,7 +282,7 @@ def parse_mmcif(
         if alt_id[i] not in (".", "A"):
             continue
         resname = comp_id[i]
-        resname = _MODIFIED_RESIDUES.get(resname, resname)
+        resname = mod_residues.get(resname, resname)
         if resname not in rc.restype_3to1:
             if group[i] == "ATOM" and resname != "UNK":
                 resname = "UNK"

@@ -69,6 +69,14 @@ class Inference:
         save_config(self.cfg, str(self.output_dir / "inference_conf.yaml"))
 
         self.inpainting = self.cfg.inference.inpainting
+        if self.cfg.model.ipa.use_pallas_kernel is None:
+            # Auto: fused pair-MLP kernel on TPU backends (sampling is
+            # forward-only); XLA formulation on CPU/GPU.
+            self.cfg.model.ipa.use_pallas_kernel = (
+                jax.default_backend() == "tpu"
+            )
+            if self.cfg.model.ipa.use_pallas_kernel:
+                logger.info("fused Pallas edge-transition kernel enabled")
         self.model = ScoreNetwork(
             self.cfg.model, self.diffuser, inpainting=self.inpainting
         )

@@ -67,6 +67,7 @@ class TrainDataset:
         self.meta = meta.reset_index(drop=True)
         logger.info(f"dataset: {len(self.meta)} structures after filters")
         self._cache: dict[int, dict] = {}
+        self._length_cache: np.ndarray | None = None
 
         # Cluster-balanced sampling (ref config data.cluster_file /
         # num_clusters): examples weighted 1/cluster_size so large sequence
@@ -120,9 +121,25 @@ class TrainDataset:
             feats["fixed_mask"] = np.zeros_like(feats["res_mask"])
         return feats
 
+    def _lengths(self) -> np.ndarray:
+        """Per-example feature lengths used for bucketing. With single-chain
+        extraction the metadata's modeled_seq_len is the FULL complex length
+        — bucketing by it would pad every batch to the complex size."""
+        if self._length_cache is None:
+            if self.cfg.data.single_chain:
+                self._length_cache = np.asarray(
+                    [
+                        int(self._features(i)["res_mask"].shape[0])
+                        for i in range(len(self.meta))
+                    ]
+                )
+            else:
+                self._length_cache = self.meta["modeled_seq_len"].to_numpy()
+        return self._length_cache
+
     def batches(self, batch_size: int):
         """Yield stacked batches of same-bucket examples each epoch."""
-        lengths = self.meta["modeled_seq_len"].to_numpy()
+        lengths = self._lengths()
         if self.sample_weights is not None:
             order = self.rng.choice(
                 len(self.meta), size=len(self.meta), replace=True,
@@ -159,6 +176,12 @@ def train(cfg: Config) -> None:
     seed = cfg.experiment.seed
     rng = np.random.default_rng(seed)
     diffuser = SE3Diffuser(cfg.diffuser)
+    if cfg.model.ipa.use_pallas_kernel:
+        logger.warning(
+            "model.ipa.use_pallas_kernel is forward-only; training uses the "
+            "XLA edge-transition formulation"
+        )
+    cfg.model.ipa.use_pallas_kernel = False
     model = ScoreNetwork(cfg.model, diffuser, inpainting=cfg.experiment.inpainting)
     optimizer = make_optimizer(cfg.experiment.learning_rate)
     dataset = TrainDataset(cfg, rng)
@@ -211,11 +234,18 @@ def train(cfg: Config) -> None:
             history_per_term=cfg.experiment.history_per_term,
             min_t=cfg.data.min_t,
         )
+    from framedipt_tpu.train.prefetch import prefetch
+
     step = int(state.step)
     log_t0 = time.time()
     with mesh:
         for epoch in range(cfg.experiment.num_epoch):
-            for batch in dataset.batches(cfg.experiment.batch_size):
+            # Featurization/padding for upcoming batches overlaps device
+            # compute (background thread + bounded queue).
+            for batch in prefetch(
+                dataset.batches(cfg.experiment.batch_size),
+                size=cfg.experiment.prefetch_buffer,
+            ):
                 # dp sharding requires batch divisible by dp; pad by repeat.
                 dp = mesh.shape["dp"]
                 bsz = batch["res_mask"].shape[0]

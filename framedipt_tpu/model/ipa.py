@@ -422,12 +422,12 @@ class IpaTrunk(nn.Module):
                     node_embed_size=ipa_conf.c_s,
                     edge_embed_out=self.conf.edge_embed_size,
                     dtype=dtype,
-                    use_pallas=ipa_conf.use_pallas_kernel,
+                    use_pallas=bool(ipa_conf.use_pallas_kernel),
                     tile_i=ipa_conf.pallas_tile_i,
                     tile_j=ipa_conf.pallas_tile_j,
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask.astype(dtype))
-                if not ipa_conf.use_pallas_kernel:
+                if not bool(ipa_conf.use_pallas_kernel):
                     # Pallas path fuses the edge-mask epilogue in the kernel.
                     edge_embed = edge_embed * edge_mask[..., None].astype(dtype)
 

@@ -132,6 +132,10 @@ def fused_pair_mlp(
     c_out = wf.shape[1]
     dtype = pair.dtype
 
+    # Clamp tiles for short sequences so padding never exceeds the lane/
+    # sublane minima (cols padded to 128-multiples, rows to 8-multiples).
+    tile_j = min(tile_j, max(128, -(-N // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N // 8) * 8))
     pad_i = (-N) % tile_i
     pad_j = (-N) % tile_j
     if pad_i or pad_j:

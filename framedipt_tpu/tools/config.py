@@ -82,12 +82,15 @@ class IPAConfig:
     seq_tfmr_num_layers: int = 2
     num_blocks: int = 4
     coordinate_scaling: float = 0.1
-    # TPU-specific: use the fused Pallas pair-MLP kernel (edge transitions).
-    use_pallas_kernel: bool = False
+    # TPU-specific: fused Pallas pair-MLP kernel for the edge transitions.
+    # None = auto (the inference CLI enables it on TPU backends; training
+    # and CPU runs use the XLA formulation — the kernel is forward-only).
+    use_pallas_kernel: bool | None = None
     # Pallas tile shape over the N x N edge grid (elements per tile should
-    # stay ~4096 to fit bf16 intermediates in VMEM).
-    pallas_tile_i: int = 32
-    pallas_tile_j: int = 128
+    # stay ~4096 to fit bf16 intermediates in VMEM; measured best at
+    # 16x256 for len-256 and equal-best at len-512 on v5e).
+    pallas_tile_i: int = 16
+    pallas_tile_j: int = 256
 
 
 @dataclass
@@ -194,6 +197,8 @@ class ExperimentConfig:
     # TPU mesh axes: data parallel size; -1 = all devices.
     dp_size: int = -1
     fsdp_size: int = 1
+    # Background input-pipeline depth (batches buffered ahead of the step).
+    prefetch_buffer: int = 4
 
 
 # --------------------------------------------------------------------------

@@ -34,6 +34,10 @@ def save_checkpoint(
     ckpt_dir = pathlib.Path(ckpt_dir).resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step}"
+    if (path / "state").exists():
+        # Already written this step (e.g. the final save after the loop
+        # when the last step coincides with ckpt_freq) — idempotent no-op.
+        return path
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(
             path / "state",

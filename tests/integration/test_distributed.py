@@ -1,0 +1,126 @@
+"""Two-process jax.distributed CPU test.
+
+Exercises the multi-host branch of parallel/mesh.py (init_distributed +
+jax.make_array_from_process_local_data in shard_batch) that real pods use
+over DCN: two local processes, each owning 2 virtual CPU devices, build a
+global dp=4 mesh, contribute per-process batch shards, and run one sharded
+train step. Loss must be finite and identical across processes (the
+all-reduce spans the process boundary).
+"""
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[2]
+
+WORKER = r"""
+import os, sys
+import numpy as np
+sys.path.insert(0, os.environ["REPO"])
+
+import jax
+from framedipt_tpu.parallel import make_mesh, shard_batch
+from framedipt_tpu.parallel.mesh import init_distributed
+from framedipt_tpu.diffusion import SE3Diffuser
+from framedipt_tpu.model import ScoreNetwork
+from framedipt_tpu.tools.config import Config, SO3Config
+from framedipt_tpu.train.loop import build_train_step, init_train_state, make_optimizer
+
+pid = int(os.environ["PROC_ID"])
+init_distributed(
+    coordinator_address=os.environ["COORD"], num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+cfg = Config()
+cfg.diffuser.so3 = SO3Config(num_omega=50, num_sigma=20, cache_dir=None)
+m = cfg.model
+m.node_embed_size = 32; m.edge_embed_size = 16
+m.ipa.c_s = 32; m.ipa.c_z = 16; m.ipa.c_hidden = 16; m.ipa.c_skip = 8
+m.ipa.no_heads = 2; m.ipa.no_qk_points = 4; m.ipa.no_v_points = 4
+m.ipa.num_blocks = 1; m.ipa.seq_tfmr_num_layers = 1; m.ipa.seq_tfmr_num_heads = 2
+
+diffuser = SE3Diffuser(cfg.diffuser)
+model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+optimizer = make_optimizer(1e-3)
+
+B_local, N = 2, 8  # global batch 4 over dp=4
+rng = np.random.default_rng(7)  # same data on both procs; local slice below
+trans = np.cumsum(rng.normal(size=(4, N, 3)), axis=1).astype(np.float32)
+qs = rng.normal(size=(4, N, 4)).astype(np.float32)
+qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+full = {
+    "rigids_0": np.concatenate([qs, trans], -1),
+    "res_mask": np.ones((4, N), np.float32),
+    "fixed_mask": np.zeros((4, N), np.float32),
+    "seq_idx": np.tile(np.arange(N)[None], (4, 1)),
+    "torsion_angles_sin_cos": rng.normal(size=(4, N, 7, 2)).astype(np.float32),
+    "aatype": rng.integers(0, 20, size=(4, N)).astype(np.int32),
+}
+local = {k: v[pid * B_local : (pid + 1) * B_local] for k, v in full.items()}
+
+mesh = make_mesh(dp_size=4)
+state = init_train_state(
+    model, optimizer,
+    {k: v for k, v in full.items()},  # init from full shapes (replicated)
+    jax.random.PRNGKey(0),
+)
+step = jax.jit(build_train_step(model, diffuser, cfg, optimizer))
+with mesh:
+    sharded = shard_batch(mesh, local)  # multi-host branch
+    assert sharded["rigids_0"].shape[0] == 4  # global batch assembled
+    state, metrics = step(state, sharded, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+print(f"proc {pid} loss {loss:.6f}", flush=True)
+"""
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    coord = f"localhost:{port.getsockname()[1]}"
+    port.close()
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU plugin in children
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            REPO=str(REPO),
+            PROC_ID=str(pid),
+            COORD=coord,
+            JAX_COMPILATION_CACHE_DIR="/tmp/jax_comp_cache_cpu",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    losses = []
+    for out, _ in outs:
+        line = [x for x in out.splitlines() if "loss" in x][-1]
+        losses.append(float(line.split()[-1]))
+    # The gradient all-reduce spans processes: losses must agree exactly.
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
