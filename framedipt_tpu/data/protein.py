@@ -180,6 +180,30 @@ def _res3(aatype: int) -> str:
     return "UNK"
 
 
+def parse_pdb_atom14(
+    pdb_str: str, chain_ids: list[str] | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, str]:
+    """PDB text -> (xyz [L, 14, 3], mask [L, 14], residue_index [L], seq).
+
+    Role of the reference's RosettaFold-table `parse_pdb_lines`
+    (framedipt/data/utils.py:210-240 + protein/chemical.py): a dense
+    14-slot per-residue atom layout. Implemented as atom37 parse + the AF2
+    atom14 gather rather than a second atom-name table."""
+    from framedipt_tpu.data.transforms import make_atom14_positions
+
+    prot = from_pdb_string(pdb_str, chain_ids=chain_ids)
+    out = make_atom14_positions(prot.aatype, prot.atom_positions, prot.atom_mask)
+    seq = "".join(
+        "X" if a >= len(rc.restypes) else rc.restypes[a] for a in prot.aatype
+    )
+    return (
+        out["atom14_gt_positions"],
+        out["atom14_gt_exists"],
+        prot.residue_index,
+        seq,
+    )
+
+
 def prots_to_pdb(prots: list[Protein]) -> str:
     """Multi-model PDB (trajectory writer, role of
     framedipt/analysis/utils.py:128-156)."""

@@ -168,3 +168,29 @@ def test_gzip_mmcif(tmp_path):
         shutil.copyfileobj(f, g)
     obj = parse_mmcif(gz)
     assert sorted(obj.chains) == ["A", "B", "C", "D", "E"]
+
+
+def test_parse_pdb_atom14(tmp_path):
+    """parse_pdb_atom14: dense 14-slot layout (role of the reference's
+    parse_pdb_lines, framedipt/data/utils.py:210-240)."""
+    import numpy as np
+    from framedipt_tpu.analysis.utils import write_prot_to_pdb
+    from framedipt_tpu.data.protein import parse_pdb_atom14
+    from tests.unit.geom_helpers import nerf_backbone
+
+    atom37, mask37 = nerf_backbone(12)
+    write_prot_to_pdb(
+        atom37 * mask37[..., None], tmp_path / "t",
+        aatype=np.zeros(12, np.int64), b_factors=np.zeros((12, 37)),
+        residue_index=np.arange(1, 13), chain_index=np.zeros(12, np.int64),
+    )
+    xyz, mask, idx, seq = parse_pdb_atom14((tmp_path / "t_1.pdb").read_text())
+    assert xyz.shape == (12, 14, 3) and mask.shape == (12, 14)
+    # ALA atom14 layout: N, CA, C, O for interior residues; the NeRF helix
+    # fixture has no N on residue 0; CB (slot 4) absent in backbone-only.
+    assert mask[1:, :4].all() and mask[0, 1:4].all()
+    assert not mask[:, 4:].any()
+    assert seq == "A" * 12
+    assert list(idx) == list(range(1, 13))
+    # Coordinates round-trip through the PDB 3-decimal format.
+    np.testing.assert_allclose(xyz[:, 1], atom37[:, 1], atol=1e-3)
