@@ -257,20 +257,26 @@ def shrake_rupley_sasa(
     v = coords[rows] - coords[cols]  # exact subtraction: no cancellation
     vsq = np.sum(v * v, axis=-1)
     thresh = (radii[cols] ** 2 - radii[rows] ** 2 - vsq) / (2.0 * radii[rows])
-    buried_pk = (sphere @ v.T) < thresh[None, :]  # [P, nnz]
+    # s_k . v_ij as three outer-product terms (a K=3 GEMM is BLAS-hostile).
+    dots = (
+        v[:, 0, None] * sphere[None, :, 0]
+        + v[:, 1, None] * sphere[None, :, 1]
+        + v[:, 2, None] * sphere[None, :, 2]
+    )  # [nnz, P]
+    buried_pairs = dots < thresh[:, None]
 
     # Segmented OR: reduceat over each atom's contiguous pair range. Guard
     # degree-0 atoms (reduceat misreads empty segments) with a False pad.
     degree = neigh_mat.sum(axis=1)
     starts = np.searchsorted(rows, np.arange(n_atoms))
     padded = np.concatenate(
-        [buried_pk, np.zeros((n_points, 1), bool)], axis=1
+        [buried_pairs, np.zeros((1, n_points), bool)], axis=0
     )
     buried_ik = np.logical_or.reduceat(
-        padded, np.minimum(starts, padded.shape[1] - 1), axis=1
-    )  # [P, A]
-    buried_ik[:, degree == 0] = False
-    accessible_frac = 1.0 - buried_ik.mean(axis=0)
+        padded, np.minimum(starts, padded.shape[0] - 1), axis=0
+    )  # [A, P]
+    buried_ik[degree == 0] = False
+    accessible_frac = 1.0 - buried_ik.mean(axis=1)
     areas = 4.0 * np.pi * radii**2 * accessible_frac
 
     per_res = np.zeros(len(prot.aatype))

@@ -64,11 +64,18 @@ def calc_distogram(
 
 
 class Embedder(nn.Module):
-    """Node + edge input embedder."""
+    """Node + edge input embedder.
+
+    With ``use_pallas`` the N^2-wide edge MLP (first layer + 2 Linears +
+    LayerNorm + edge-mask epilogue) runs as one fused VMEM-resident kernel
+    (model/pallas/pair_mlp.py, residual=False variant); ``node_mask`` must
+    then be provided and the caller must NOT re-mask the edge output.
+    """
 
     conf: ModelConfig
     inpainting: bool = False
     dtype: jnp.dtype | None = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -79,6 +86,7 @@ class Embedder(nn.Module):
         fixed_mask: jnp.ndarray,  # [B, N]
         self_conditioning_ca: jnp.ndarray,  # [B, N, 3]
         aatype: jnp.ndarray | None,  # [B, N] int or None
+        node_mask: jnp.ndarray | None = None,  # [B, N] (pallas path)
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         embed_conf = self.conf.embed
         num_batch, num_res = seq_idx.shape
@@ -145,25 +153,77 @@ class Embedder(nn.Module):
         b0 = self.param(
             "edge_embedder_b0", nn.initializers.zeros_init(), (hidden,)
         )
-        w0 = w0.astype(self.dtype or jnp.float32)
-        prot_c = prot_t_embed.astype(w0.dtype)
+        # Inner edge layers as raw params so the whole chain can run inside
+        # the fused Pallas kernel (Linear/LayerNorm modules cannot expose
+        # their kernels for in-kernel use).
+        w1 = self.param(
+            "edge_linear_1_kernel", trunc_normal_initializer(1.0), (hidden, hidden)
+        )
+        b1 = self.param("edge_linear_1_bias", nn.initializers.zeros_init(), (hidden,))
+        w2 = self.param(
+            "edge_linear_2_kernel", trunc_normal_initializer(1.0), (hidden, hidden)
+        )
+        b2 = self.param("edge_linear_2_bias", nn.initializers.zeros_init(), (hidden,))
+        ln_scale = self.param(
+            "edge_ln_scale", nn.initializers.ones_init(), (hidden,)
+        )
+        ln_bias = self.param(
+            "edge_ln_bias", nn.initializers.zeros_init(), (hidden,)
+        )
+
+        dtype = self.dtype or jnp.float32
+        w0 = w0.astype(dtype)
+        prot_c = prot_t_embed.astype(dtype)
         i_term = prot_c @ w0[:c_t]
         j_term = prot_c @ w0[c_t : 2 * c_t]
+
+        if self.use_pallas:
+            from framedipt_tpu.model.pallas.pair_mlp import fused_pair_mlp
+
+            mask = (
+                node_mask
+                if node_mask is not None
+                else jnp.ones(seq_idx.shape, dtype)
+            )
+            edge_embed = fused_pair_mlp(
+                pair_rest.astype(dtype),
+                i_term,
+                j_term,
+                mask.astype(dtype),
+                w0[2 * c_t :],
+                b0,
+                w1,
+                b1,
+                w2,
+                b2,
+                ln_scale,
+                ln_bias,
+                tile_i=self.conf.ipa.pallas_tile_i,
+                tile_j=self.conf.ipa.pallas_tile_j,
+            )
+            return node_embed, edge_embed
+
         rest_term = jnp.einsum(
             "bijf,fh->bijh",
-            pair_rest.astype(w0.dtype),
+            pair_rest.astype(dtype),
             w0[2 * c_t :],
-            preferred_element_type=w0.dtype,
+            preferred_element_type=dtype,
         )
         x = (
             rest_term
             + i_term[:, :, None, :]
             + j_term[:, None, :, :]
-            + b0.astype(w0.dtype)
+            + b0.astype(dtype)
         )
         x = jax.nn.relu(x)
-        x = Linear(hidden, dtype=self.dtype, name="edge_linear_1")(x)
-        x = jax.nn.relu(x)
-        x = Linear(hidden, dtype=self.dtype, name="edge_linear_2")(x)
-        edge_embed = nn.LayerNorm(dtype=self.dtype, name="edge_layer_norm")(x)
+        x = jax.nn.relu(x @ w1.astype(dtype) + b1.astype(dtype))
+        x = x @ w2.astype(dtype) + b2.astype(dtype)
+        # Manual LayerNorm (f32 statistics; nn.LayerNorm semantics).
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        centered = x32 - mean
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+        edge_embed = (
+            centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        ).astype(dtype)
         return node_embed, edge_embed

@@ -68,10 +68,35 @@ def convert_state_dict(
         _t(sd["embedding_layer.edge_embedder.0.weight"]),
     )
     _set(p, "embedding_layer/edge_embedder_b0", sd["embedding_layer.edge_embedder.0.bias"])
-    _linear(p, "embedding_layer/edge_linear_1", sd, "embedding_layer.edge_embedder.2")
-    _linear(p, "embedding_layer/edge_linear_2", sd, "embedding_layer.edge_embedder.4")
-    _layernorm(
-        p, "embedding_layer/edge_layer_norm", sd, "embedding_layer.edge_embedder.5"
+    _set(
+        p,
+        "embedding_layer/edge_linear_1_kernel",
+        _t(sd["embedding_layer.edge_embedder.2.weight"]),
+    )
+    _set(
+        p,
+        "embedding_layer/edge_linear_1_bias",
+        sd["embedding_layer.edge_embedder.2.bias"],
+    )
+    _set(
+        p,
+        "embedding_layer/edge_linear_2_kernel",
+        _t(sd["embedding_layer.edge_embedder.4.weight"]),
+    )
+    _set(
+        p,
+        "embedding_layer/edge_linear_2_bias",
+        sd["embedding_layer.edge_embedder.4.bias"],
+    )
+    _set(
+        p,
+        "embedding_layer/edge_ln_scale",
+        sd["embedding_layer.edge_embedder.5.weight"],
+    )
+    _set(
+        p,
+        "embedding_layer/edge_ln_bias",
+        sd["embedding_layer.edge_embedder.5.bias"],
     )
 
     trunk = "score_model.trunk"

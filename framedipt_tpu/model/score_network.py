@@ -64,10 +64,12 @@ class ScoreNetwork(nn.Module):
             if self.conf.compute_dtype == "bfloat16"
             else jnp.float32
         )
+        use_pallas = bool(self.conf.ipa.use_pallas_embedder)
         node_embed, edge_embed = Embedder(
             self.conf,
             inpainting=self.inpainting,
             dtype=compute_dtype,
+            use_pallas=use_pallas,
             name="embedding_layer",
         )(
             seq_idx=input_feats["seq_idx"],
@@ -75,9 +77,12 @@ class ScoreNetwork(nn.Module):
             fixed_mask=fixed_mask,
             self_conditioning_ca=input_feats["sc_ca_t"],
             aatype=aatype,
+            node_mask=bb_mask,
         )
         node_embed = node_embed * bb_mask[..., None].astype(node_embed.dtype)
-        edge_embed = edge_embed * edge_mask[..., None].astype(edge_embed.dtype)
+        if not use_pallas:
+            # The pallas edge MLP fuses the edge-mask epilogue in-kernel.
+            edge_embed = edge_embed * edge_mask[..., None].astype(edge_embed.dtype)
 
         diffuse_mask = (1.0 - fixed_mask) * bb_mask
         rigids_t7 = input_feats["rigids_t"].astype(jnp.float32)

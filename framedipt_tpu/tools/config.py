@@ -86,6 +86,10 @@ class IPAConfig:
     # None = auto (the inference CLI enables it on TPU backends; training
     # and CPU runs use the XLA formulation — the kernel is forward-only).
     use_pallas_kernel: bool | None = None
+    # Fused kernel for the Embedder's edge MLP: measured net-negative on
+    # v5e (641 vs 658 steps/s len-256; the custom call forces the distogram
+    # / rel-offset producers to materialize) — off by default, see PERF.md.
+    use_pallas_embedder: bool = False
     # Pallas tile shape over the N x N edge grid (elements per tile should
     # stay ~4096 to fit bf16 intermediates in VMEM; measured best at
     # 16x256 for len-256 and equal-best at len-512 on v5e).

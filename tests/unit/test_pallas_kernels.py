@@ -82,5 +82,73 @@ def test_fused_pair_mlp_embedder_variant():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
 
 
+def test_full_model_pallas_matches_xla():
+    """Whole ScoreNetwork forward: pallas path (embedder edge MLP + edge
+    transitions, interpret mode) vs the XLA formulation, ragged mask."""
+    import dataclasses
+
+    from framedipt_tpu.diffusion import SE3Diffuser
+    from framedipt_tpu.model import ScoreNetwork
+    from framedipt_tpu.tools.config import Config, SO3Config
+
+    cfg = Config()
+    cfg.diffuser.so3 = SO3Config(num_omega=50, num_sigma=20, cache_dir=None)
+    m = cfg.model
+    m.node_embed_size = 32
+    m.edge_embed_size = 16
+    m.ipa.c_s = 32
+    m.ipa.c_z = 16
+    m.ipa.c_hidden = 16
+    m.ipa.c_skip = 8
+    m.ipa.no_heads = 2
+    m.ipa.no_qk_points = 4
+    m.ipa.no_v_points = 4
+    m.ipa.num_blocks = 2
+    m.ipa.seq_tfmr_num_layers = 1
+    m.ipa.seq_tfmr_num_heads = 2
+    m.ipa.pallas_tile_i = 8
+    m.ipa.pallas_tile_j = 16
+    diffuser = SE3Diffuser(cfg.diffuser)
+
+    rng = np.random.default_rng(4)
+    B, N = 1, 20
+    trans = rng.normal(size=(B, N, 3)).astype(np.float32) * 4
+    qs = rng.normal(size=(B, N, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    res_mask = np.ones((B, N), np.float32)
+    res_mask[:, -3:] = 0.0
+    fixed = np.zeros((B, N), np.float32)
+    fixed[:, :5] = 1.0
+    feats = {
+        "res_mask": jnp.asarray(res_mask),
+        "fixed_mask": jnp.asarray(fixed),
+        "seq_idx": jnp.tile(jnp.arange(N)[None], (B, 1)),
+        "t": jnp.full((B,), 0.5, jnp.float32),
+        "sc_ca_t": jnp.asarray(trans),
+        "rigids_t": jnp.asarray(np.concatenate([qs, trans], -1)),
+        "torsion_angles_sin_cos": jnp.asarray(
+            rng.normal(size=(B, N, 7, 2)).astype(np.float32)
+        ),
+        "aatype": jnp.asarray(rng.integers(0, 20, size=(B, N)), jnp.int32),
+    }
+
+    model_xla = ScoreNetwork(m, diffuser, inpainting=True)
+    params = model_xla.init(jax.random.PRNGKey(0), feats)
+    out_xla = model_xla.apply(params, feats)
+
+    m_pallas = dataclasses.replace(m)
+    m_pallas.ipa = dataclasses.replace(
+        m.ipa, use_pallas_kernel=True, use_pallas_embedder=True
+    )
+    model_pallas = ScoreNetwork(m_pallas, diffuser, inpainting=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_pallas = model_pallas.apply(params, feats)
+
+    for key in ("psi", "rot_score", "trans_score", "atom37"):
+        a, b = np.asarray(out_xla[key]), np.asarray(out_pallas[key])
+        scale = max(1.0, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < 2e-5, key
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
