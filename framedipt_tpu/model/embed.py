@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from framedipt_tpu.model.layers import Linear, MLP, trunc_normal_initializer
+from framedipt_tpu.parallel import sp
 from framedipt_tpu.tools.config import ModelConfig
 
 # First edge layer uses the zoo's "default" (LeCun trunc-normal) init.
@@ -203,6 +204,9 @@ class Embedder(nn.Module):
             )
             return node_embed, edge_embed
 
+        # Under sequence parallelism the pairwise features are row-sharded
+        # at the source, so the whole N^2 chain below is born distributed.
+        pair_rest = sp.constrain_edge(pair_rest)
         rest_term = jnp.einsum(
             "bijf,fh->bijh",
             pair_rest.astype(dtype),
@@ -223,7 +227,9 @@ class Embedder(nn.Module):
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         centered = x32 - mean
         var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-        edge_embed = (
-            centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
-        ).astype(dtype)
+        edge_embed = sp.constrain_edge(
+            (centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias).astype(
+                dtype
+            )
+        )
         return node_embed, edge_embed

@@ -24,6 +24,7 @@ import numpy as np
 
 from framedipt_tpu.geometry.rigid import Rigid
 from framedipt_tpu.model.layers import IPA_POINT_WEIGHTS_INIT, Linear
+from framedipt_tpu.parallel import sp
 from framedipt_tpu.tools.config import IPAConfig, ModelConfig
 
 F32 = jnp.float32
@@ -124,9 +125,11 @@ class InvariantPointAttention(nn.Module):
         )  # [B, H, N, N]
         a = a + (-0.5) * pt_scale[None, :, None, None] * sq_dist
 
-        # Mask + softmax over keys.
+        # Mask + softmax over keys. Under sequence parallelism the logits
+        # are sharded by query rows (softmax over keys stays local).
         square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
         a = a + square_mask[:, None, :, :]
+        a = sp.constrain_attn(a)
         a = jax.nn.softmax(a, axis=-1)
 
         # Scalar output (attention weights cast to the compute dtype so the
@@ -146,7 +149,9 @@ class InvariantPointAttention(nn.Module):
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + self.eps)  # [B, N, H*Pv]
 
         # Pair output through the down-projected pair rep.
-        pair_z = Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(z)
+        pair_z = sp.constrain_edge(
+            Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(z)
+        )
         o_pair = jnp.einsum(
             "bhij,bijd->bihd", a.astype(self.dtype), pair_z,
             preferred_element_type=F32,
@@ -291,7 +296,7 @@ class EdgeTransition(nn.Module):
         centered = out32 - mean
         var = jnp.mean(centered * centered, axis=-1, keepdims=True)
         normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
-        return normed.astype(self.dtype)
+        return sp.constrain_edge(normed.astype(self.dtype))
 
 
 class SeqTransformerLayer(nn.Module):
@@ -377,7 +382,7 @@ class IpaTrunk(nn.Module):
 
         curr = Rigid.from_tensor7(rigids_t7).scale_trans(ipa_conf.coordinate_scaling)
         init_node_embed = (init_node_embed * node_mask[..., None]).astype(dtype)
-        edge_embed = edge_embed.astype(dtype)
+        edge_embed = sp.constrain_edge(edge_embed.astype(dtype))
         node_embed = init_node_embed
 
         for b in range(ipa_conf.num_blocks):

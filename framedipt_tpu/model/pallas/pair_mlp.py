@@ -63,20 +63,31 @@ def _pair_mlp_kernel(
     dtype = pair_ref.dtype
     pair = pair_ref[0].reshape(ti * tj, c_in)
 
-    # y0 = relu(pair @ W0 + i_term + j_term + b0). Intermediates stay in the
-    # compute dtype: VMEM is the scarce resource (f32 would halve tile size).
-    y0 = jnp.dot(pair, w0_ref[:], preferred_element_type=F32)
+    # All intra-tile elementwise math runs in the compute dtype, mirroring
+    # the XLA formulation (ipa.py einsums use preferred_element_type=dtype):
+    # the MXU still accumulates in f32 internally, but writing bf16 halves
+    # both the VPU elementwise cost (2 elems/lane) and the VMEM footprint
+    # (enables 2x larger tiles within the ~16 MB/core budget). Only the
+    # LayerNorm statistics are f32, as in the XLA path.
+    # (Mosaic requires 32-bit matmul accumulators, so each dot emits f32
+    # and is cast to the compute dtype right away.)
+    # y0 = relu(pair @ W0 + i_term + j_term + b0).
+    y0 = jnp.dot(pair, w0_ref[:], preferred_element_type=F32).astype(dtype)
     y0 = y0.reshape(ti, tj, h) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
-    y0 = jax.nn.relu(y0 + b0_ref[:].reshape(1, 1, h)).astype(dtype)
+    y0 = jax.nn.relu(y0 + b0_ref[:].reshape(1, 1, h))
 
     # y1 = relu(y0 @ W1 + b1)
-    y1 = jnp.dot(y0.reshape(ti * tj, h), w1_ref[:], preferred_element_type=F32)
-    y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, h)).astype(dtype)
+    y1 = jnp.dot(
+        y0.reshape(ti * tj, h), w1_ref[:], preferred_element_type=F32
+    ).astype(dtype)
+    y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, h))
 
     # Final projection (+ decomposed concat-residual for EdgeTransition).
-    out = jnp.dot(y1, wf_ref[:], preferred_element_type=F32)
+    out = jnp.dot(y1, wf_ref[:], preferred_element_type=F32).astype(dtype)
     if residual:
-        out = out + jnp.dot(pair, wfe_ref[:], preferred_element_type=F32)
+        out = out + jnp.dot(
+            pair, wfe_ref[:], preferred_element_type=F32
+        ).astype(dtype)
     out = out.reshape(ti, tj, c_out)
     if residual:
         out = out + fi_ref[0][:, None, :] + fj_ref[0][None, :, :]
@@ -84,6 +95,7 @@ def _pair_mlp_kernel(
 
     # Fused LayerNorm (f32 statistics, matching flax nn.LayerNorm eps=1e-6)
     # + edge-mask epilogue, so no elementwise pass survives outside the call.
+    out = out.astype(F32)
     mean = jnp.mean(out, axis=-1, keepdims=True)
     centered = out - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)

@@ -39,13 +39,27 @@ def build_inference_fn(
     embed_self_conditioning: bool = True,
     inpainting: bool = False,
     input_aatype: bool = False,
+    sp_mesh: Any | None = None,
 ) -> Callable[[Any, dict[str, jnp.ndarray], jax.Array], dict[str, jnp.ndarray]]:
     """Return a jitted ``(params, feats, key) -> trajectories`` sampler.
 
     ``feats`` must contain rigids_t [B,N,7], res_mask/fixed_mask [B,N],
     seq_idx [B,N], sc_ca_t [B,N,3], torsion_angles_sin_cos [B,N,7,2], and
     aatype [B,N] when inpainting.
+
+    ``sp_mesh``: a ``(dp, sp)`` mesh (see ``parallel.sp.make_sp_mesh``) to
+    shard the N^2 edge stack over the ``sp`` axis — sequence parallelism
+    for long complexes. XLA's SPMD partitioner splits the edge einsums by
+    rows against the in-model sharding constraints and inserts collectives.
+    Incompatible with the single-chip Pallas kernel path.
     """
+    if sp_mesh is not None and bool(
+        getattr(model.conf.ipa, "use_pallas_kernel", False)
+    ):
+        raise ValueError(
+            "sequence parallelism (sp_mesh) requires the XLA edge-stack "
+            "formulation; set model.ipa.use_pallas_kernel=False"
+        )
     reverse_steps = jnp.asarray(
         np.linspace(min_t, 1.0, num_t)[::-1].copy(), jnp.float32
     )
@@ -154,7 +168,19 @@ def build_inference_fn(
             ret["rigid_0_traj"] = jnp.flip(traj["rigid_0_traj"], axis=0)
         return ret
 
-    return run
+    if sp_mesh is None:
+        return run
+
+    from framedipt_tpu.parallel import sp as _sp
+
+    def run_sp(params, feats, key):
+        # The sp context must be live while ``run`` traces (first call) so
+        # the in-model constraints bind to this mesh; afterwards it is a
+        # no-op around cached executions.
+        with _sp.sp_context(sp_mesh):
+            return run(params, feats, key)
+
+    return run_sp
 
 
 def inference_fn(

@@ -1,0 +1,120 @@
+"""Sequence parallelism: the N^2 edge stack sharded over the mesh ``sp``
+axis (parallel/sp.py). The reference is single-GPU at inference
+(experiments/inference.py; SURVEY.md §2.9) — this is the TPU-native scaling
+dimension for long complexes. Verified on the virtual 8-CPU mesh:
+
+- numerics match the single-device sampler,
+- the edge tensors are *actually* row-sharded (checked via the compiled
+  HLO's sharding annotations, not just absence of errors).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framedipt_tpu.diffusion import SE3Diffuser
+from framedipt_tpu.model import ScoreNetwork
+from framedipt_tpu.parallel import make_sp_mesh
+from framedipt_tpu.parallel import sp as sp_mod
+from framedipt_tpu.sampling import build_inference_fn
+from framedipt_tpu.tools.config import DiffuserConfig
+from tests.unit.test_sampling import SMALL_MODEL, SMALL_SO3, N
+
+
+def _make_feats(B):
+    rng = np.random.default_rng(0)
+    trans = rng.normal(size=(B, N, 3)).astype(np.float32) * 4
+    qs = rng.normal(size=(B, N, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    fixed = np.zeros((B, N), np.float32)
+    fixed[:, :4] = 1.0
+    return {
+        "res_mask": np.ones((B, N), np.float32),
+        "fixed_mask": fixed,
+        "seq_idx": np.tile(np.arange(N)[None], (B, 1)),
+        "t": np.ones((B,), np.float32),
+        "sc_ca_t": np.zeros((B, N, 3), np.float32),
+        "rigids_t": np.concatenate([qs, trans], -1),
+        "torsion_angles_sin_cos": rng.normal(size=(B, N, 7, 2)).astype(
+            np.float32
+        ),
+        "aatype": rng.integers(0, 20, size=(B, N)).astype(np.int32),
+    }
+
+
+def test_sp_sampler_matches_single_device():
+    diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
+    model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=True)
+    feats = _make_feats(B=1)
+    jfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+    params = model.init(jax.random.PRNGKey(0), jfeats)
+
+    run_single = build_inference_fn(
+        model, diffuser, num_t=3, min_t=0.01, noise_scale=0.1, inpainting=True
+    )
+    out_single = run_single(params, jfeats, jax.random.PRNGKey(1))
+
+    mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
+    run_sp = build_inference_fn(
+        model, diffuser, num_t=3, min_t=0.01, noise_scale=0.1,
+        inpainting=True, sp_mesh=mesh,
+    )
+    out_sp = run_sp(params, jfeats, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(out_sp["final_rigids"]),
+        np.asarray(out_single["final_rigids"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp["prot_traj"]),
+        np.asarray(out_single["prot_traj"]),
+        atol=2e-4,
+    )
+
+
+def test_sp_edge_tensors_are_row_sharded():
+    """The model forward under an sp context really distributes the edge
+    stack: compile it and look for the sp sharding in the HLO."""
+    diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
+    model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=True)
+    feats = _make_feats(B=1)
+    jfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+    params = model.init(jax.random.PRNGKey(0), jfeats)
+
+    mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
+    with sp_mod.sp_context(mesh):
+        lowered = jax.jit(model.apply).lower(params, jfeats)
+    compiled_text = lowered.compile().as_text()
+    # Row-sharding of a [1, N, N, C] tensor over 4 devices shows up as a
+    # {devices=[1,4,1,1]...} annotation; GSPMD keeping everything
+    # replicated would leave none.
+    assert "devices=[1,4,1,1]" in compiled_text.replace(" ", ""), (
+        "no row-sharded edge tensor found in compiled HLO"
+    )
+
+
+def test_sp_context_is_identity_when_inactive():
+    x = jnp.ones((2, 8, 8, 4))
+    assert sp_mod.constrain_edge(x) is x
+    assert sp_mod.constrain_rows(x) is x
+    assert sp_mod.constrain_attn(x) is x
+
+
+def test_sp_rejects_pallas_path():
+    import dataclasses
+
+    diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
+    mc = dataclasses.replace(SMALL_MODEL)
+    mc.ipa = dataclasses.replace(SMALL_MODEL.ipa, use_pallas_kernel=True)
+    model = ScoreNetwork(mc, diffuser, inpainting=True)
+    mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
+    with pytest.raises(ValueError, match="use_pallas_kernel"):
+        build_inference_fn(
+            model, diffuser, num_t=3, min_t=0.01, inpainting=True,
+            sp_mesh=mesh,
+        )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
