@@ -121,8 +121,12 @@ def _tokenize(text: str) -> Iterator[str]:
         i += 1
 
 
-def parse_cif_categories(text: str) -> dict[str, dict[str, list[str]]]:
-    """CIF text -> {category: {item: [values...]}} (loops and single rows)."""
+def parse_cif_categories_py(text: str) -> dict[str, dict[str, list[str]]]:
+    """CIF text -> {category: {item: [values...]}} (loops and single rows).
+
+    Pure-Python oracle; :func:`parse_cif_categories` routes to the native
+    C++ tokenizer (framedipt_tpu/native/cif_tokenizer.cpp, ~15x faster)
+    when the extension builds, and to this implementation otherwise."""
     cats: dict[str, dict[str, list[str]]] = {}
     tokens = _tokenize(text)
     tok = next(tokens, None)
@@ -165,6 +169,26 @@ def parse_cif_categories(text: str) -> dict[str, dict[str, list[str]]]:
             continue
         tok = next(tokens, None)
     return cats
+
+
+_cif_native = None
+_cif_native_checked = False
+
+
+def parse_cif_categories(text: str) -> dict[str, dict[str, list[str]]]:
+    """CIF text -> {category: {item: [values...]}}.
+
+    Routes to the native C++ tokenizer when available (built on demand,
+    dict-identical output asserted by tests/unit/test_native_cif.py)."""
+    global _cif_native, _cif_native_checked
+    if not _cif_native_checked:
+        from framedipt_tpu.native import load_cif_native
+
+        _cif_native = load_cif_native()
+        _cif_native_checked = True
+    if _cif_native is not None:
+        return _cif_native.parse_categories(text)
+    return parse_cif_categories_py(text)
 
 
 # --------------------------------------------------------------------------

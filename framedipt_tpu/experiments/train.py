@@ -176,12 +176,12 @@ def train(cfg: Config) -> None:
     seed = cfg.experiment.seed
     rng = np.random.default_rng(seed)
     diffuser = SE3Diffuser(cfg.diffuser)
-    if cfg.model.ipa.use_pallas_kernel:
-        logger.warning(
-            "model.ipa.use_pallas_kernel is forward-only; training uses the "
-            "XLA edge-transition formulation"
-        )
-    cfg.model.ipa.use_pallas_kernel = False
+    if cfg.model.ipa.use_pallas_kernel is None:
+        # Auto mode enables the kernel for inference only (inference.py);
+        # training defaults to the XLA formulation — flip the flag to true
+        # explicitly to train through the fused kernel (differentiable via
+        # a rematerialized backward; see model/pallas/pair_mlp.py).
+        cfg.model.ipa.use_pallas_kernel = False
     model = ScoreNetwork(cfg.model, diffuser, inpainting=cfg.experiment.inpainting)
     optimizer = make_optimizer(cfg.experiment.learning_rate)
     dataset = TrainDataset(cfg, rng)

@@ -179,28 +179,34 @@ class Embedder(nn.Module):
         j_term = prot_c @ w0[c_t : 2 * c_t]
 
         if self.use_pallas:
-            from framedipt_tpu.model.pallas.pair_mlp import fused_pair_mlp
+            from framedipt_tpu.model.pallas.pair_mlp import (
+                fused_pair_mlp_trainable,
+            )
 
             mask = (
                 node_mask
                 if node_mask is not None
                 else jnp.ones(seq_idx.shape, dtype)
             )
-            edge_embed = fused_pair_mlp(
+            edge_embed = fused_pair_mlp_trainable(
+                self.conf.ipa.pallas_tile_i,
+                self.conf.ipa.pallas_tile_j,
+                False,
                 pair_rest.astype(dtype),
                 i_term,
                 j_term,
                 mask.astype(dtype),
                 w0[2 * c_t :],
-                b0,
-                w1,
-                b1,
-                w2,
-                b2,
+                b0.astype(dtype),
+                w1.astype(dtype),
+                b1.astype(dtype),
+                w2.astype(dtype),
+                b2.astype(dtype),
                 ln_scale,
                 ln_bias,
-                tile_i=self.conf.ipa.pallas_tile_i,
-                tile_j=self.conf.ipa.pallas_tile_j,
+                None,
+                None,
+                None,
             )
             return node_embed, edge_embed
 

@@ -251,7 +251,9 @@ class EdgeTransition(nn.Module):
         fj = node_bias @ wf[c_e + bias_size :]
 
         if self.use_pallas:
-            from framedipt_tpu.model.pallas.pair_mlp import fused_pair_mlp
+            from framedipt_tpu.model.pallas.pair_mlp import (
+                fused_pair_mlp_trainable,
+            )
 
             mask = (
                 node_mask
@@ -259,11 +261,13 @@ class EdgeTransition(nn.Module):
                 else jnp.ones(node_bias.shape[:2], edge_embed.dtype)
             )
             # LayerNorm + edge-mask epilogue are fused inside the kernel.
-            return fused_pair_mlp(
-                edge_embed, i_term, j_term, mask,
+            # Differentiable: backward remats through the XLA formulation.
+            return fused_pair_mlp_trainable(
+                self.tile_i, self.tile_j, False,
+                edge_embed, i_term.astype(self.dtype),
+                j_term.astype(self.dtype), mask,
                 w0[:c_e], b0, w1, b1, wf, bf, ln_scale, ln_bias,
-                fi=fi, fj=fj, wfe=wf[:c_e],
-                tile_i=self.tile_i, tile_j=self.tile_j,
+                fi.astype(self.dtype), fj.astype(self.dtype), wf[:c_e],
             )
         else:
             # trunk_0 decomposed: concat([e, bi, bj]) @ W0

@@ -150,5 +150,98 @@ def test_full_model_pallas_matches_xla():
         assert np.abs(a - b).max() / scale < 2e-5, key
 
 
+def test_trainable_kernel_gradients_match_xla():
+    """The custom-VJP path (pallas forward, rematerialized XLA backward)
+    must produce the same parameter/input gradients as differentiating the
+    plain XLA EdgeTransition."""
+    rng = np.random.default_rng(7)
+    B, n, Cs, Ce = 1, 24, 64, 32
+    node = jnp.asarray(rng.normal(size=(B, n, Cs)).astype(np.float32))
+    edge = jnp.asarray(rng.normal(size=(B, n, n, Ce)).astype(np.float32))
+    mask_np = np.ones((B, n), np.float32)
+    mask_np[:, -3:] = 0.0
+    mask = jnp.asarray(mask_np)
+    cot = jnp.asarray(rng.normal(size=(B, n, n, Ce)).astype(np.float32))
+
+    et_xla = EdgeTransition(node_embed_size=Cs, edge_embed_out=Ce)
+    params = et_xla.init(jax.random.PRNGKey(0), node, edge)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(8).normal(size=x.shape).astype(np.float32),
+        params,
+    )
+
+    def loss_xla(p, nd, ed):
+        out = et_xla.apply(p, nd, ed)
+        out = out * (mask[:, :, None] * mask[:, None, :])[..., None]
+        return jnp.sum(out * cot)
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(params, node, edge)
+
+    et_pallas = EdgeTransition(
+        node_embed_size=Cs, edge_embed_out=Ce, use_pallas=True,
+        tile_i=8, tile_j=128,
+    )
+
+    def loss_pallas(p, nd, ed):
+        out = et_pallas.apply(p, nd, ed, node_mask=mask)
+        return jnp.sum(out * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, node, edge)
+
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pallas)
+    assert len(flat_x) == len(flat_p)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_trainable_kernel_gradients_embedder_variant():
+    """residual=False variant: value + grads of fused_pair_mlp_trainable
+    vs the plain XLA chain."""
+    from framedipt_tpu.model.pallas.pair_mlp import (
+        _xla_pair_mlp,
+        fused_pair_mlp_trainable,
+    )
+
+    rng = np.random.default_rng(9)
+    B, N, c_in, h = 1, 16, 8, 32
+    pair = jnp.asarray(rng.normal(size=(B, N, N, c_in)).astype(np.float32))
+    i_term = jnp.asarray(rng.normal(size=(B, N, h)).astype(np.float32))
+    j_term = jnp.asarray(rng.normal(size=(B, N, h)).astype(np.float32))
+    mask_np = np.ones((B, N), np.float32)
+    mask_np[:, -2:] = 0.0
+    mask = jnp.asarray(mask_np)
+    weights = [
+        jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.2)
+        for s in [(c_in, h), (h,), (h, h), (h,), (h, h), (h,), (h,), (h,)]
+    ]
+    cot = jnp.asarray(rng.normal(size=(B, N, N, h)).astype(np.float32))
+
+    def loss_fused(pair, i_term, j_term, *ws):
+        out = fused_pair_mlp_trainable(
+            8, 16, False, pair, i_term, j_term, mask, *ws, None, None, None
+        )
+        return jnp.sum(out * cot)
+
+    def loss_xla(pair, i_term, j_term, *ws):
+        out = _xla_pair_mlp(pair, i_term, j_term, mask, *ws, None, None, None)
+        return jnp.sum(out * cot)
+
+    argnums = tuple(range(3 + len(weights)))
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=argnums)(
+            pair, i_term, j_term, *weights
+        )
+    g_xla = jax.grad(loss_xla, argnums=argnums)(pair, i_term, j_term, *weights)
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
