@@ -40,6 +40,16 @@ class ProcessOptions:
     filtering: FilteringConfig
     max_resolution: float | None = 5.0
     first_assembly: bool = True
+    # Inference-metadata extensions (ref process_pdb_dataset.process_mmcif
+    # as called from experiments/sampler.py:184-226): select specific
+    # author chains, per-chain length bounds, chain-count cap, reject the
+    # invalid 0.0 resolution, and skip the SS/Rg training-only filters.
+    chains: list[str] | None = None
+    chain_min_len: int | None = None
+    chain_max_len: int | None = None
+    max_num_chains: int | None = None
+    check_valid_resolution: bool = False
+    ss_filters: bool = True
 
 
 def process_mmcif(path: pathlib.Path, opts: ProcessOptions) -> dict | None:
@@ -52,8 +62,38 @@ def process_mmcif(path: pathlib.Path, opts: ProcessOptions) -> dict | None:
     res = mmcif_obj.header.resolution
     if opts.max_resolution is not None and res is not None and res > opts.max_resolution:
         raise errors.ResolutionError(f"{pdb_name}: resolution {res}")
+    if opts.check_valid_resolution and (res is None or res == 0.0):
+        # Reference rejects the sentinel 0.0 "invalid" resolution
+        # (process_pdb_dataset.py:458-460; parse failures report None here).
+        raise errors.ResolutionError(f"{pdb_name}: invalid resolution {res}")
 
-    raw = feature_lib.structure_to_features(mmcif_obj)
+    if opts.chains is not None:
+        missing = [c for c in opts.chains if c not in mmcif_obj.chains]
+        if missing:
+            raise errors.ChainError(f"{pdb_name}: missing chains {missing}")
+    if opts.max_num_chains is not None and len(mmcif_obj.chains) > opts.max_num_chains:
+        raise errors.ChainError(
+            f"{pdb_name}: {len(mmcif_obj.chains)} chains > {opts.max_num_chains}"
+        )
+    if opts.chain_min_len is not None or opts.chain_max_len is not None:
+        # Reference semantics: modeled chain length = span between first and
+        # last non-UNK residue (process_pdb_dataset.get_modeled_chain_len).
+        for cid in opts.chains or sorted(mmcif_obj.chains):
+            aatype = mmcif_obj.chains[cid].aatype
+            known = np.where(aatype != 20)[0]
+            if known.size == 0:
+                raise errors.LengthError(f"{pdb_name}/{cid}: no modeled residues")
+            modeled = int(known.max() - known.min() + 1)
+            if opts.chain_max_len is not None and modeled > opts.chain_max_len:
+                raise errors.LengthError(
+                    f"{pdb_name}/{cid}: chain length {modeled} > {opts.chain_max_len}"
+                )
+            if opts.chain_min_len is not None and modeled < opts.chain_min_len:
+                raise errors.LengthError(
+                    f"{pdb_name}/{cid}: chain length {modeled} < {opts.chain_min_len}"
+                )
+
+    raw = feature_lib.structure_to_features(mmcif_obj, chain_ids=opts.chains)
     n_res = len(raw["aatype"])
     filt = opts.filtering
     if n_res > filt.max_len:
@@ -74,12 +114,19 @@ def process_mmcif(path: pathlib.Path, opts: ProcessOptions) -> dict | None:
     helix_percent = float(np.mean(ss == "H"))
     strand_percent = float(np.mean(ss == "E"))
     coil_percent = float(np.mean(ss == "C"))
-    if helix_percent > filt.max_helix_percent:
-        raise errors.SecondaryStructureError(f"{pdb_name}: helix {helix_percent:.2f}")
-    if coil_percent > filt.max_loop_percent:
-        raise errors.SecondaryStructureError(f"{pdb_name}: coil {coil_percent:.2f}")
-    if strand_percent < filt.min_beta_percent:
-        raise errors.SecondaryStructureError(f"{pdb_name}: beta {strand_percent:.2f}")
+    if opts.ss_filters:
+        if helix_percent > filt.max_helix_percent:
+            raise errors.SecondaryStructureError(
+                f"{pdb_name}: helix {helix_percent:.2f}"
+            )
+        if coil_percent > filt.max_loop_percent:
+            raise errors.SecondaryStructureError(
+                f"{pdb_name}: coil {coil_percent:.2f}"
+            )
+        if strand_percent < filt.min_beta_percent:
+            raise errors.SecondaryStructureError(
+                f"{pdb_name}: beta {strand_percent:.2f}"
+            )
     rog = dssp_lib.radius_of_gyration(raw["atom_positions"][bb], raw["atom_mask"][bb])
 
     # Write pickle into a 2-char hashed subdir (reference layout).

@@ -169,7 +169,21 @@ class Inference:
         if not self.inpainting:
             return UnconditionalSampler(cfg, self.diffuser, seed=cfg.inference.seed)
         if self.cif_dir is None:
-            raise ValueError("conditional sampling requires cif_dir")
+            # Database-driven flow (ref experiments/sampler.py:184-226):
+            # download structures listed in inpainting_samples.data_path
+            # into download_dir, filter, cache metadata.csv.
+            if (
+                cfg.inference.inpainting_samples.tcr
+                and cfg.inference.inpainting_samples.download_dir
+            ):
+                return TCRSampler.from_database(
+                    cfg, self.diffuser, seed=cfg.inference.seed
+                )
+            raise ValueError(
+                "conditional sampling requires cif_dir (or "
+                "inference.inpainting_samples.download_dir for the "
+                "database-driven TCR flow)"
+            )
         if cfg.inference.inpainting_samples.tcr:
             csv_path = cfg.data.csv_path or "database/TCR.csv"
             return TCRSampler(

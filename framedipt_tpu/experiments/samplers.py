@@ -8,6 +8,7 @@ numpy; placement on device happens in the inference driver.
 """
 from __future__ import annotations
 
+import dataclasses
 import pathlib
 from typing import Iterator
 
@@ -29,6 +30,100 @@ import jax.numpy as jnp
 logger = get_logger()
 
 SampleItem = tuple[str, int, dict[str, np.ndarray]]
+
+
+def init_database_metadata(
+    cfg: Config,
+    pdb_ids: list[str],
+    chains_per_structure: list[list[str] | None],
+    cif_dir: pathlib.Path | None = None,
+) -> tuple[list[pathlib.Path], list[list[str] | None]]:
+    """Database-driven sampler init (ref experiments/sampler.py:184-226):
+    download the listed structures into ``download_dir/cifs`` (best-effort —
+    already-present files are kept, a zero-egress environment just uses
+    what exists), build/reuse ``download_dir/processed/metadata.csv`` by
+    running the inference filters (resolution / total + per-chain length /
+    chain count), and return the surviving (cif_path, chains) pairs."""
+    from framedipt_tpu.data import pipeline as pipeline_lib
+    from framedipt_tpu.tools import errors
+
+    isc = cfg.inference.inpainting_samples
+    download_dir = pathlib.Path(isc.download_dir)
+    cifs_dir = pathlib.Path(cif_dir) if cif_dir else download_dir / "cifs"
+    processed_dir = download_dir / "processed"
+    metadata_path = processed_dir / "metadata.csv"
+
+    missing = [
+        pid
+        for pid in pdb_ids
+        if not (
+            cifs_dir
+            / (f"{pid.lower()}-assembly1.cif" if isc.first_assembly else f"{pid.lower()}.cif")
+        ).exists()
+    ]
+    if missing:
+        try:
+            from framedipt_tpu.data.download import download_cifs
+
+            download_cifs(
+                missing,
+                cifs_dir,
+                first_assembly=isc.first_assembly,
+                max_workers=isc.num_workers_download,
+            )
+        except Exception as e:  # noqa: BLE001 - offline is a supported mode
+            logger.warning(f"structure download unavailable: {e}")
+
+    suffix = "-assembly1.cif" if isc.first_assembly else ".cif"
+    candidates: list[tuple[str, pathlib.Path, list[str] | None]] = []
+    for pid, chains in zip(pdb_ids, chains_per_structure):
+        path = cifs_dir / f"{pid.lower()}{suffix}"
+        if path.exists():
+            candidates.append((pid.lower(), path, chains))
+        else:
+            logger.warning(f"missing structure file {path}; skipping")
+
+    if metadata_path.exists() and not isc.overwrite:
+        try:
+            metadata = pd.read_csv(metadata_path)
+            kept = set(metadata["pdb_name"].astype(str))
+        except pd.errors.EmptyDataError:
+            kept = set()
+        logger.info(f"reusing cached metadata ({len(kept)} entries)")
+    else:
+        rows = []
+        for pid, path, chains in candidates:
+            opts = pipeline_lib.ProcessOptions(
+                output_dir=processed_dir,
+                filtering=dataclasses.replace(
+                    cfg.data.filtering,
+                    max_len=isc.max_len or 10**9,
+                    min_len=isc.min_len or 0,
+                ),
+                max_resolution=isc.max_resolution,
+                first_assembly=isc.first_assembly,
+                chains=list(chains) if chains else None,
+                chain_min_len=isc.chain_min_len,
+                chain_max_len=isc.chain_max_len,
+                max_num_chains=isc.max_num_chains,
+                check_valid_resolution=isc.check_valid_resolution,
+                ss_filters=False,
+            )
+            try:
+                row = pipeline_lib.process_mmcif(path, opts)
+            except errors.DataError as e:
+                logger.info(f"filtered out {path.name}: {e}")
+                continue
+            rows.append(row)
+        metadata = pd.DataFrame(rows, columns=["pdb_name"] if not rows else None)
+        processed_dir.mkdir(parents=True, exist_ok=True)
+        metadata.to_csv(metadata_path, index=False)
+        kept = set(metadata["pdb_name"].astype(str)) if rows else set()
+        logger.info(f"processed {len(kept)}/{len(candidates)} structures")
+
+    cif_paths = [p for pid, p, _ in candidates if pid in kept]
+    chains_list = [c for pid, _, c in candidates if pid in kept]
+    return cif_paths, chains_list
 
 
 class UnconditionalSampler:
@@ -192,32 +287,51 @@ class TCRSampler(ConditionalSampler):
         self,
         cfg: Config,
         diffuser: SE3Diffuser,
-        cif_dir: str | pathlib.Path,
-        csv_path: str | pathlib.Path,
+        cif_dir: str | pathlib.Path | None = None,
+        csv_path: str | pathlib.Path | None = None,
         first_assembly: bool = True,
         seed: int = 123,
+        cif_paths: list[pathlib.Path] | None = None,
+        chains_list: list[list[str] | None] | None = None,
     ) -> None:
-        csv = pd.read_csv(csv_path)
-        cif_dir = pathlib.Path(cif_dir)
-        cif_paths, chains_list = [], []
-        suffix = "-assembly1.cif" if first_assembly else ".cif"
-        for _, row in csv.iterrows():
-            path = cif_dir / f"{row['pdb_id']}{suffix}"
-            if not path.exists():
-                logger.warning(f"missing structure file {path}; skipping")
-                continue
-            chains = [row["tcr_alpha_chain"], row["tcr_beta_chain"]]
-            for col in ("peptide_chain", "mhc_alpha_chain", "mhc_beta_chain"):
-                v = row.get(col)
-                if isinstance(v, str) and v:
-                    chains.append(v)
-            cif_paths.append(path)
-            chains_list.append(chains)
+        if cif_paths is None:
+            csv = pd.read_csv(csv_path)
+            pdb_ids, all_chains = _tcr_rows(csv)
+            cif_dir = pathlib.Path(cif_dir)
+            suffix = "-assembly1.cif" if first_assembly else ".cif"
+            cif_paths, chains_list = [], []
+            for pid, chains in zip(pdb_ids, all_chains):
+                path = cif_dir / f"{pid}{suffix}"
+                if not path.exists():
+                    logger.warning(f"missing structure file {path}; skipping")
+                    continue
+                cif_paths.append(path)
+                chains_list.append(chains)
         super().__init__(cfg, diffuser, cif_paths, chains_list, seed=seed)
         self.cdr_loops = [
             _canonical_loop(c) for c in cfg.inference.inpainting_samples.cdr_loops
         ]
         self.shifted_region = cfg.inference.inpainting_samples.shifted_region
+
+    @classmethod
+    def from_database(
+        cls, cfg: Config, diffuser: SE3Diffuser, seed: int = 123
+    ) -> "TCRSampler":
+        """Reference-style init: the TCR database CSV drives download into
+        ``inpainting_samples.download_dir``, inference filters build a
+        cached metadata.csv, and sampling runs over the survivors
+        (ref experiments/sampler.py:357-414 + :184-226)."""
+        isc = cfg.inference.inpainting_samples
+        csv_path = isc.data_path or cfg.data.csv_path or "database/TCR.csv"
+        csv = pd.read_csv(csv_path)
+        pdb_ids, all_chains = _tcr_rows(csv)
+        cif_paths, chains_list = init_database_metadata(
+            cfg, pdb_ids, all_chains
+        )
+        return cls(
+            cfg, diffuser, seed=seed, cif_paths=cif_paths,
+            chains_list=chains_list,
+        )
 
     def create_diffusion_mask(
         self, chain_feats: dict[str, np.ndarray], example_idx: int
@@ -234,6 +348,23 @@ class TCRSampler(ConditionalSampler):
         )
         self._mask_cache[example_idx] = mask
         return mask
+
+
+def _tcr_rows(csv: pd.DataFrame) -> tuple[list[str], list[list[str]]]:
+    """(pdb_ids, chains-to-process) from the curated TCR CSV: TCR alpha and
+    beta first (the CDR-mask convention relies on processing order), then
+    any peptide/MHC chains present."""
+    pdb_ids: list[str] = []
+    all_chains: list[list[str]] = []
+    for _, row in csv.iterrows():
+        chains = [row["tcr_alpha_chain"], row["tcr_beta_chain"]]
+        for col in ("peptide_chain", "mhc_alpha_chain", "mhc_beta_chain"):
+            v = row.get(col)
+            if isinstance(v, str) and v:
+                chains.append(v)
+        pdb_ids.append(str(row["pdb_id"]).lower())
+        all_chains.append(chains)
+    return pdb_ids, all_chains
 
 
 def _canonical_loop(name: str) -> str:

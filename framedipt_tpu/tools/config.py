@@ -243,6 +243,23 @@ class InpaintingSamplesConfig:
     cdr_loops: list[str] = field(default_factory=lambda: ["beta_3"])
     start_idx: int | None = None
     end_idx: int | None = None
+    # Database-driven sampler init (ref experiments/sampler.py:184-226 +
+    # config/inference.yaml inpainting_samples): download structures listed
+    # in data_path into download_dir, build a cached metadata.csv with the
+    # filters below, and sample from the survivors. When the inference CLI
+    # gets an explicit --cif_dir these are bypassed.
+    data_path: str | None = None  # CSV with pdb_id + chain columns
+    download_dir: str | None = None
+    first_assembly: bool = True
+    overwrite: bool = False  # rebuild metadata.csv even if cached
+    max_resolution: float | None = None
+    max_len: int | None = None
+    min_len: int | None = None
+    chain_max_len: int | None = None
+    chain_min_len: int | None = None
+    max_num_chains: int | None = None
+    check_valid_resolution: bool = False
+    num_workers_download: int = 4
 
 
 @dataclass
