@@ -35,7 +35,13 @@ def bench_variant(
     cfg, diffuser, model = _make_model()
     if compute_dtype != "float32" or use_pallas:
         mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
-        mc.ipa = dataclasses.replace(mc.ipa, use_pallas_kernel=use_pallas)
+        # use_pallas enables both fused kernels (edge transitions + edge
+        # embedder), matching what the inference CLI auto-enables on TPU.
+        mc.ipa = dataclasses.replace(
+            mc.ipa,
+            use_pallas_kernel=use_pallas,
+            use_pallas_embedder=use_pallas,
+        )
         model = ScoreNetwork(mc, diffuser, inpainting=True)
 
     feats = _make_feats(1, num_res)

@@ -77,6 +77,12 @@ class Inference:
             )
             if self.cfg.model.ipa.use_pallas_kernel:
                 logger.info("fused Pallas edge-transition kernel enabled")
+        if self.cfg.model.ipa.use_pallas_embedder is None:
+            self.cfg.model.ipa.use_pallas_embedder = (
+                jax.default_backend() == "tpu"
+            )
+            if self.cfg.model.ipa.use_pallas_embedder:
+                logger.info("fused Pallas edge-embedder kernel enabled")
         self.model = ScoreNetwork(
             self.cfg.model, self.diffuser, inpainting=self.inpainting
         )

@@ -182,6 +182,8 @@ def train(cfg: Config) -> None:
         # explicitly to train through the fused kernel (differentiable via
         # a rematerialized backward; see model/pallas/pair_mlp.py).
         cfg.model.ipa.use_pallas_kernel = False
+    if cfg.model.ipa.use_pallas_embedder is None:
+        cfg.model.ipa.use_pallas_embedder = False
     model = ScoreNetwork(cfg.model, diffuser, inpainting=cfg.experiment.inpainting)
     optimizer = make_optimizer(cfg.experiment.learning_rate)
     dataset = TrainDataset(cfg, rng)

@@ -178,9 +178,17 @@ class Embedder(nn.Module):
         i_term = prot_c @ w0[:c_t]
         j_term = prot_c @ w0[c_t : 2 * c_t]
 
-        if self.use_pallas:
-            from framedipt_tpu.model.pallas.pair_mlp import (
-                fused_pair_mlp_trainable,
+        if self.use_pallas and embed_conf.embed_self_conditioning:
+            # Fully-fused kernel: rel-offset sinusoids synthesized in-kernel
+            # from rank-64 CP factors (angle addition) and the distogram from
+            # in-kernel pairwise distances, so the [N, N, 54] pairwise
+            # features never touch HBM (model/pallas/edge_embedder.py). The
+            # round-2 MLP-only fusion lost precisely because those producers
+            # materialized at the custom-call boundary (PERF.md).
+            from framedipt_tpu.model.pallas.edge_embedder import (
+                expand_w_rel,
+                fused_edge_embedder_trainable,
+                rel_cp_factors,
             )
 
             mask = (
@@ -188,15 +196,28 @@ class Embedder(nn.Module):
                 if node_mask is not None
                 else jnp.ones(seq_idx.shape, dtype)
             )
-            edge_embed = fused_pair_mlp_trainable(
-                self.conf.ipa.pallas_tile_i,
-                self.conf.ipa.pallas_tile_j,
+            g, h = rel_cp_factors(seq_idx, embed_conf.index_embed_size)
+            n_rel = embed_conf.index_embed_size  # rel_embed width (sin+cos)
+            w_rel = expand_w_rel(w0[2 * c_t : 2 * c_t + n_rel])
+            w_dist = w0[2 * c_t + n_rel :]
+            lower = np.linspace(
+                embed_conf.min_bin, embed_conf.max_bin, embed_conf.num_bins
+            )
+            upper = np.concatenate([lower[1:], [1e8]])
+            edge_embed = fused_edge_embedder_trainable(
+                tuple(float(x) for x in lower),
+                tuple(float(x) for x in upper),
+                self.conf.ipa.pallas_emb_tile_i,
+                self.conf.ipa.pallas_emb_tile_j,
                 False,
-                pair_rest.astype(dtype),
+                g.astype(dtype),
+                h.astype(dtype),
+                self_conditioning_ca,
                 i_term,
                 j_term,
                 mask.astype(dtype),
-                w0[2 * c_t :],
+                w_rel,
+                w_dist,
                 b0.astype(dtype),
                 w1.astype(dtype),
                 b1.astype(dtype),
@@ -204,9 +225,6 @@ class Embedder(nn.Module):
                 b2.astype(dtype),
                 ln_scale,
                 ln_bias,
-                None,
-                None,
-                None,
             )
             return node_embed, edge_embed
 
@@ -238,4 +256,10 @@ class Embedder(nn.Module):
                 dtype
             )
         )
+        if self.use_pallas and node_mask is not None:
+            # Caller contract: with use_pallas the edge-mask epilogue is the
+            # embedder's job (normally fused in-kernel). Honor it on this XLA
+            # fallback (reached when embed_self_conditioning is off).
+            emask = node_mask[:, :, None] * node_mask[:, None, :]
+            edge_embed = edge_embed * emask[..., None].astype(edge_embed.dtype)
         return node_embed, edge_embed

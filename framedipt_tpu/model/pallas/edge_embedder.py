@@ -1,0 +1,385 @@
+"""Fully-fused edge-embedder Pallas TPU kernel: pairwise features synthesized
+in VMEM from O(N) inputs.
+
+The Embedder's edge branch (ref framedipt/model/score_network.py:114-127,
+176-195) feeds concat([node_i, node_j, rel_offset_embedding, distogram]) to a
+3-layer MLP over the N x N grid. A kernel that fuses only the MLP loses: the
+[N^2, 54] pairwise-feature producers (rel-offset sinusoids + self-conditioning
+CA distogram) then materialize to HBM, where XLA had fused them into the first
+matmul (PERF.md round-2 "what didn't"). This kernel goes one level deeper and
+synthesizes BOTH producers inside the kernel, so its HBM traffic is O(N) reads
+plus one [N, N, C] output write:
+
+- **Rel-offset embedding via angle addition.** The sinusoidal embedding of
+  (i - j) obeys sin((i-j)x) = sin(ix)cos(jx) - cos(ix)sin(jx) (and the cosine
+  analogue), so the [N, N, 32] embedding is a rank-64 CP product of per-row /
+  per-column factors G, H in [N, 64] (``rel_cp_factors``). In-kernel the tile
+  contribution is (G_i * H_j) @ W'_rel with the first-layer kernel rows
+  duplicated to match (``expand_w_rel``) — exact in real arithmetic, and in
+  bf16 no worse than the XLA path's bf16 cast of the materialized embedding
+  (products are accumulated in f32 on the MXU either way).
+- **Distogram via in-kernel distances.** Pairwise CA distance from the
+  f32 row/col coordinate refs (direct difference, so the diagonal is exactly
+  0, matching calc_distogram's all-zero diagonal one-hot), one lane-aligned
+  broadcast compare against the 128-padded bin-edge refs, then a padded
+  [n_bins, C] matmul. (A per-bin compare loop + stack relayouts every slice
+  and measured 23% SLOWER than no kernel at all; the aligned one-hot build
+  is what makes this kernel win.)
+
+The MLP chain + LayerNorm + edge-mask epilogue follow exactly as in
+model/pallas/pair_mlp.py (same lessons: everything XLA would fuse around the
+custom call must live inside it; fully parallel grid).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def rel_cp_factors(
+    seq_idx: jnp.ndarray, embed_size: int, max_len: int = 2056
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CP factors G, H in [..., 2*embed_size] whose elementwise product sums
+    to the rel-offset sinusoid embedding: for every frequency x_k,
+
+        sin((i-j)x_k) = s_i c_j + c_i (-s_j)
+        cos((i-j)x_k) = c_i c_j + s_i s_j
+
+    Layout: G = [s, c, c, s], H = [c, -s, c, s] (each block of K=embed_size/2
+    frequencies), matching :func:`expand_w_rel`'s row duplication.
+    """
+    k = jnp.arange(embed_size // 2, dtype=jnp.float32)
+    x = np.pi / max_len ** (2.0 * k / embed_size)
+    ang = seq_idx.astype(jnp.float32)[..., None] * x
+    s, c = jnp.sin(ang), jnp.cos(ang)
+    g = jnp.concatenate([s, c, c, s], axis=-1)
+    h = jnp.concatenate([c, -s, c, s], axis=-1)
+    return g, h
+
+
+def expand_w_rel(w_rel: jnp.ndarray) -> jnp.ndarray:
+    """Duplicate the rel-embedding kernel rows [2K, C] -> [4K, C] so that
+    (G * H) @ expand_w_rel(W) == rel_embed(i - j) @ W (sin rows first, then
+    cos rows, as produced by get_index_embedding)."""
+    K = w_rel.shape[0] // 2
+    ws, wc = w_rel[:K], w_rel[K:]
+    return jnp.concatenate([ws, ws, wc, wc], axis=0)
+
+
+def _edge_embedder_kernel(
+    g_ref, h_ref,  # [1, TI, 4K] / [1, TJ, 4K]
+    xr_ref, yr_ref, zr_ref,  # [1, TI, 1] f32 row coordinates
+    xc_ref, yc_ref, zc_ref,  # [1, 1, TJ] f32 col coordinates
+    i0_ref, j0_ref,  # [1, TI, C] / [1, TJ, C] first-layer node terms
+    rmask_ref, cmask_ref,  # [1, TI, 1] / [1, 1, TJ]
+    wrel_ref,  # [4K, C]
+    wdist_ref,  # [n_bins, C]
+    lower_ref, upper_ref,  # [1, n_bins] f32 distance-bin edges
+    b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,  # MLP params
+    lns_ref, lnb_ref,  # LayerNorm params (f32)
+    out_ref,  # [1, TI, TJ, C]
+):
+    _, ti, cp = g_ref.shape
+    tj = h_ref.shape[1]
+    c = wrel_ref.shape[1]
+    n_bins = wdist_ref.shape[0]
+    dtype = g_ref.dtype
+
+    # Rel-offset embedding contribution: (G_i * H_j) @ W'_rel.
+    m = g_ref[0][:, None, :] * h_ref[0][None, :, :]  # [TI, TJ, 4K]
+    x = jnp.dot(
+        m.reshape(ti * tj, cp), wrel_ref[:], preferred_element_type=F32
+    ).astype(dtype)
+
+    # Distogram contribution: in-kernel pairwise CA distance (exact-zero
+    # diagonal via direct difference) -> one-hot -> [n_bins, C] matmul.
+    # The bin axis is pre-padded to a lane multiple (wdist rows zeroed, pad
+    # edges empty) so the one-hot is built by ONE broadcasted compare into an
+    # aligned [TI, TJ, n_bins] tile — a per-bin stack relayouts every slice.
+    dx = xr_ref[0].astype(F32) - xc_ref[0].astype(F32)  # [TI, TJ]
+    dy = yr_ref[0].astype(F32) - yc_ref[0].astype(F32)
+    dz = zr_ref[0].astype(F32) - zc_ref[0].astype(F32)
+    d = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [TI, TJ] f32
+    lower = lower_ref[:].reshape(1, 1, n_bins)
+    upper = upper_ref[:].reshape(1, 1, n_bins)
+    d3 = d[:, :, None]  # f32 minor-dim insert (Mosaic: 32-bit only)
+    onehot = ((d3 > lower) & (d3 < upper)).astype(dtype)
+    x = x + jnp.dot(
+        onehot.reshape(ti * tj, n_bins), wdist_ref[:],
+        preferred_element_type=F32,
+    ).astype(dtype)
+
+    # 3-layer MLP (first layer completed by the node terms), as in pair_mlp.
+    x = x.reshape(ti, tj, c) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
+    x = jax.nn.relu(x + b0_ref[:].reshape(1, 1, c))
+    x = jnp.dot(
+        x.reshape(ti * tj, c), w1_ref[:], preferred_element_type=F32
+    ).astype(dtype)
+    x = jax.nn.relu(x + b1_ref[:].reshape(1, c))
+    x = jnp.dot(x, w2_ref[:], preferred_element_type=F32).astype(dtype)
+    x = x.reshape(ti, tj, c) + b2_ref[:].reshape(1, 1, c)
+
+    # Fused LayerNorm (f32 statistics, eps=1e-6) + edge-mask epilogue.
+    x = x.astype(F32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + 1e-6)
+    normed = normed * lns_ref[:].reshape(1, 1, c).astype(F32)
+    normed = normed + lnb_ref[:].reshape(1, 1, c).astype(F32)
+    mask = rmask_ref[0].astype(F32) * cmask_ref[0].astype(F32)  # [TI, TJ]
+    out_ref[0] = (normed * mask[:, :, None]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bins_lower", "bins_upper", "tile_i", "tile_j", "interpret"
+    ),
+)
+def fused_edge_embedder(
+    g: jnp.ndarray,  # [B, N, 4K] rel CP row factor
+    h: jnp.ndarray,  # [B, N, 4K] rel CP col factor
+    pos: jnp.ndarray,  # [B, N, 3] f32 self-conditioning CA coordinates
+    i_term: jnp.ndarray,  # [B, N, C] first-layer row node term
+    j_term: jnp.ndarray,  # [B, N, C] first-layer col node term
+    node_mask: jnp.ndarray,  # [B, N]
+    w_rel: jnp.ndarray,  # [4K, C] (pre-expanded, see expand_w_rel)
+    w_dist: jnp.ndarray,  # [n_bins, C]
+    b0: jnp.ndarray,  # [C]
+    w1: jnp.ndarray,  # [C, C]
+    b1: jnp.ndarray,  # [C]
+    w2: jnp.ndarray,  # [C, C]
+    b2: jnp.ndarray,  # [C]
+    ln_scale: jnp.ndarray,  # [C]
+    ln_bias: jnp.ndarray,  # [C]
+    *,
+    bins_lower: tuple[float, ...],
+    bins_upper: tuple[float, ...],
+    tile_i: int = 16,
+    tile_j: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked-LayerNorm embedder edge output, [B, N, N, C]."""
+    B, N, cp = g.shape
+    c = w_rel.shape[1]
+    n_bins = w_dist.shape[0]
+    dtype = g.dtype
+
+    # Mosaic needs the CP-factor lane dim at a 128 multiple for the
+    # [TI, 1, cp] x [1, TJ, cp] broadcast product; zero rank-padding is exact.
+    pad_cp = (-cp) % 128
+    if pad_cp:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_cp)))
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, pad_cp)))
+        w_rel = jnp.pad(w_rel, ((0, pad_cp), (0, 0)))
+        cp += pad_cp
+
+    # Pad the distogram bin axis to a lane multiple with always-false edges
+    # (lower=+inf, upper=-inf) and zeroed w_dist rows, so the in-kernel
+    # one-hot is a single lane-aligned broadcast compare.
+    pad_bins = (-n_bins) % 128
+    if pad_bins:
+        bins_lower = tuple(bins_lower) + (1e30,) * pad_bins
+        bins_upper = tuple(bins_upper) + (-1e30,) * pad_bins
+        w_dist = jnp.pad(w_dist, ((0, pad_bins), (0, 0)))
+        n_bins += pad_bins
+
+    # f32 inputs double the VMEM stack footprint (same rule as pair_mlp):
+    # shrink to <=2048 elements without touching already-small tiles.
+    if jnp.dtype(dtype).itemsize >= 4:
+        while tile_i * tile_j > 2048 and tile_j > 128:
+            tile_j //= 2
+        while tile_i * tile_j > 2048 and tile_i > 8:
+            tile_i //= 2
+    tile_j = min(tile_j, max(128, -(-N // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N // 8) * 8))
+    pad_i = (-N) % tile_i
+    pad_j = (-N) % tile_j
+    if pad_i:
+        g = jnp.pad(g, ((0, 0), (0, pad_i), (0, 0)))
+        i_term = jnp.pad(i_term, ((0, 0), (0, pad_i), (0, 0)))
+    if pad_j:
+        h = jnp.pad(h, ((0, 0), (0, pad_j), (0, 0)))
+        j_term = jnp.pad(j_term, ((0, 0), (0, pad_j), (0, 0)))
+    # Padded coordinates go far away (1e6) rather than 0 so padded pairs fall
+    # outside every distance bin, mirroring masked behavior pre-epilogue.
+    pos32 = pos.astype(F32)
+    pos_r = jnp.pad(
+        pos32, ((0, 0), (0, pad_i), (0, 0)), constant_values=1e6
+    )
+    pos_c = jnp.pad(
+        pos32, ((0, 0), (0, pad_j), (0, 0)), constant_values=1e6
+    )
+    rmask = jnp.pad(node_mask, ((0, 0), (0, pad_i))) if pad_i else node_mask
+    cmask = jnp.pad(node_mask, ((0, 0), (0, pad_j))) if pad_j else node_mask
+    n_rows, n_cols = g.shape[1], h.shape[1]
+
+    grid = (B, n_rows // tile_i, n_cols // tile_j)
+
+    def row_spec(c_):
+        return pl.BlockSpec(
+            (1, tile_i, c_), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def col_spec(c_):
+        return pl.BlockSpec(
+            (1, tile_j, c_), lambda b, i, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def colT_spec():
+        return pl.BlockSpec(
+            (1, 1, tile_j), lambda b, i, j: (b, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    def rowmask_spec():
+        return pl.BlockSpec(
+            (1, tile_i, 1), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full_spec(*shape):
+        return pl.BlockSpec(
+            shape, lambda b, i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        row_spec(cp), col_spec(cp),
+        rowmask_spec(), rowmask_spec(), rowmask_spec(),  # xr, yr, zr
+        colT_spec(), colT_spec(), colT_spec(),  # xc, yc, zc
+        row_spec(c), col_spec(c),  # i_term, j_term
+        rowmask_spec(), colT_spec(),  # masks
+        full_spec(cp, c), full_spec(n_bins, c),
+        full_spec(1, n_bins), full_spec(1, n_bins),
+        full_spec(1, c), full_spec(c, c), full_spec(1, c),
+        full_spec(c, c), full_spec(1, c),
+        full_spec(1, c), full_spec(1, c),
+    ]
+    args = [
+        g, h.astype(dtype),
+        pos_r[..., 0:1], pos_r[..., 1:2], pos_r[..., 2:3],
+        jnp.swapaxes(pos_c[..., 0:1], 1, 2),
+        jnp.swapaxes(pos_c[..., 1:2], 1, 2),
+        jnp.swapaxes(pos_c[..., 2:3], 1, 2),
+        i_term.astype(dtype), j_term.astype(dtype),
+        rmask.astype(dtype)[:, :, None],
+        cmask.astype(dtype)[:, None, :],
+        w_rel.astype(dtype), w_dist.astype(dtype),
+        jnp.asarray(bins_lower, F32).reshape(1, -1),
+        jnp.asarray(bins_upper, F32).reshape(1, -1),
+        b0.reshape(1, -1).astype(dtype),
+        w1.astype(dtype), b1.reshape(1, -1).astype(dtype),
+        w2.astype(dtype), b2.reshape(1, -1).astype(dtype),
+        ln_scale.reshape(1, -1).astype(F32),
+        ln_bias.reshape(1, -1).astype(F32),
+    ]
+
+    flops_per_elem = 2 * (cp * c + n_bins * c + c * c + c * c)
+    out = pl.pallas_call(
+        _edge_embedder_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_rows, n_cols, c), dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_i, tile_j, c),
+            lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * n_rows * n_cols * flops_per_elem,
+            bytes_accessed=B * n_rows * n_cols * c * np.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if pad_i or pad_j:
+        out = out[:, :N, :N, :]
+    return out
+
+
+def _xla_edge_embedder(
+    g, h, pos, i_term, j_term, node_mask,
+    w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
+    bins_lower, bins_upper,
+):
+    """XLA twin of the fused kernel (same CP/one-hot math), used as the
+    rematerialized backward of :func:`fused_edge_embedder_trainable` and as
+    the consistency oracle in tests."""
+    dtype = g.dtype
+    m = g[:, :, None, :] * h[:, None, :, :]
+    x = jnp.einsum("bijk,kc->bijc", m, w_rel.astype(dtype),
+                   preferred_element_type=dtype)
+    diff = pos.astype(F32)[:, :, None, :] - pos.astype(F32)[:, None, :, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    lower = jnp.asarray(bins_lower, F32)
+    upper = jnp.asarray(bins_upper, F32)
+    onehot = (
+        (d[..., None] > lower) & (d[..., None] < upper)
+    ).astype(dtype)
+    x = x + jnp.einsum("bijn,nc->bijc", onehot, w_dist.astype(dtype),
+                       preferred_element_type=dtype)
+    x = x + i_term[:, :, None, :] + j_term[:, None, :, :]
+    x = jax.nn.relu(x + b0)
+    x = jax.nn.relu(
+        jnp.einsum("bijc,ck->bijk", x, w1, preferred_element_type=dtype) + b1
+    )
+    x = jnp.einsum("bijc,ck->bijk", x, w2, preferred_element_type=dtype) + b2
+    x32 = x.astype(F32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+    emask = node_mask[:, :, None] * node_mask[:, None, :]
+    return (normed * emask[..., None].astype(F32)).astype(dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4)
+)
+def fused_edge_embedder_trainable(
+    bins_lower, bins_upper, tile_i, tile_j, interpret,
+    g, h, pos, i_term, j_term, node_mask,
+    w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
+):
+    """Differentiable fused edge embedder: Pallas forward, backward via the
+    VJP of the numerically identical XLA twin rematerialized from the O(N)
+    inputs (the [N, N, C] intermediates are never saved to HBM)."""
+    return fused_edge_embedder(
+        g, h, pos, i_term, j_term, node_mask,
+        w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
+        bins_lower=bins_lower, bins_upper=bins_upper,
+        tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+    )
+
+
+def _trainable_fwd(bins_lower, bins_upper, tile_i, tile_j, interpret, *args):
+    out = fused_edge_embedder_trainable(
+        bins_lower, bins_upper, tile_i, tile_j, interpret, *args
+    )
+    return out, args
+
+
+def _trainable_bwd(bins_lower, bins_upper, tile_i, tile_j, interpret,
+                   residuals, grad):
+    del tile_i, tile_j, interpret
+    _, vjp = jax.vjp(
+        lambda *a: _xla_edge_embedder(*a, bins_lower, bins_upper), *residuals
+    )
+    return vjp(grad)
+
+
+fused_edge_embedder_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -144,6 +144,15 @@ def fused_pair_mlp(
     c_out = wf.shape[1]
     dtype = pair.dtype
 
+    # f32 inputs double the VMEM stack footprint: a 16x256 f32 tile OOMs the
+    # ~16 MB scoped budget (22.6 MB measured) that the same bf16 tile fits.
+    # Shrink to <=2048 elements (16x128 f32 fits) without touching tiles
+    # that are already small.
+    if jnp.dtype(dtype).itemsize >= 4:
+        while tile_i * tile_j > 2048 and tile_j > 128:
+            tile_j //= 2
+        while tile_i * tile_j > 2048 and tile_i > 8:
+            tile_i //= 2
     # Clamp tiles for short sequences so padding never exceeds the lane/
     # sublane minima (cols padded to 128-multiples, rows to 8-multiples).
     tile_j = min(tile_j, max(128, -(-N // 128) * 128))

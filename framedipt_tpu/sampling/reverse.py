@@ -53,12 +53,14 @@ def build_inference_fn(
     rows against the in-model sharding constraints and inserts collectives.
     Incompatible with the single-chip Pallas kernel path.
     """
-    if sp_mesh is not None and bool(
-        getattr(model.conf.ipa, "use_pallas_kernel", False)
+    if sp_mesh is not None and (
+        bool(getattr(model.conf.ipa, "use_pallas_kernel", False))
+        or bool(getattr(model.conf.ipa, "use_pallas_embedder", False))
     ):
         raise ValueError(
             "sequence parallelism (sp_mesh) requires the XLA edge-stack "
-            "formulation; set model.ipa.use_pallas_kernel=False"
+            "formulation; set model.ipa.use_pallas_kernel=False and "
+            "model.ipa.use_pallas_embedder=False"
         )
     reverse_steps = jnp.asarray(
         np.linspace(min_t, 1.0, num_t)[::-1].copy(), jnp.float32

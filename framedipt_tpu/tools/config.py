@@ -86,15 +86,22 @@ class IPAConfig:
     # None = auto (the inference CLI enables it on TPU backends; training
     # and CPU runs use the XLA formulation — the kernel is forward-only).
     use_pallas_kernel: bool | None = None
-    # Fused kernel for the Embedder's edge MLP: measured net-negative on
-    # v5e (641 vs 658 steps/s len-256; the custom call forces the distogram
-    # / rel-offset producers to materialize) — off by default, see PERF.md.
-    use_pallas_embedder: bool = False
+    # Fully-fused kernel for the Embedder's edge branch: synthesizes the
+    # rel-offset sinusoids (rank-64 CP angle-addition factors) and the
+    # self-conditioning distogram *inside* the kernel, so the pairwise
+    # feature producers never materialize to HBM (the round-2 MLP-only
+    # fusion lost exactly there — PERF.md). None = auto, same policy as
+    # use_pallas_kernel (inference CLI enables on TPU backends).
+    use_pallas_embedder: bool | None = None
     # Pallas tile shape over the N x N edge grid (elements per tile should
     # stay ~4096 to fit bf16 intermediates in VMEM; measured best at
     # 16x256 for len-256 and equal-best at len-512 on v5e).
     pallas_tile_i: int = 16
     pallas_tile_j: int = 256
+    # Embedder-kernel tiles (measured: 16x256 best at len-256, within 1% of
+    # best at len-512 — see PERF.md round-2 fused edge-embedder notes).
+    pallas_emb_tile_i: int = 16
+    pallas_emb_tile_j: int = 256
 
 
 @dataclass

@@ -21,7 +21,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 sys.path.insert(0, ".")
 
 
-def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16"):
+def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16",
+          use_pallas_embedder=False):
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.sampling import build_inference_fn
@@ -31,6 +32,7 @@ def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16"):
     mc.ipa = dataclasses.replace(
         mc.ipa,
         use_pallas_kernel=use_pallas,
+        use_pallas_embedder=use_pallas_embedder,
         pallas_tile_i=tile[0],
         pallas_tile_j=tile[1],
     )
@@ -64,6 +66,13 @@ def main():
     for n in args.lens:
         sps = bench(n, args.num_t, use_pallas=False)
         print(f"len{n} xla: {sps:.1f} steps/s", flush=True)
+        try:
+            sps = bench(n, args.num_t, use_pallas=True, tile=(16, 256),
+                        use_pallas_embedder=True)
+            print(f"len{n} pallas 16x256 + fused embedder: {sps:.1f} steps/s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"len{n} pallas+embedder FAILED: {e}", flush=True)
         for tile_s in args.tiles:
             ti, tj = map(int, tile_s.split("x"))
             if tj > n:

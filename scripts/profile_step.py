@@ -1,0 +1,218 @@
+"""Component-level timing of the score-network forward on the real chip.
+
+Times each sub-module (embedder, IPA attention, edge transition, sequence
+transformer) in-scan (lax.scan over K calls with varying inputs, so per-call
+dispatch amortizes and the executor cannot dedup identical steps), mirroring
+how the sampler executes them. Prints a table attributing the full forward's
+time to components. Run with no args on the TPU:
+
+    python scripts/profile_step.py [N]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
+from framedipt_tpu.geometry.rigid import Rigid  # noqa: E402
+from framedipt_tpu.model.embed import Embedder  # noqa: E402
+from framedipt_tpu.model.ipa import (  # noqa: E402
+    EdgeTransition,
+    InvariantPointAttention,
+    SeqTransformerLayer,
+    StructureModuleTransition,
+)
+from framedipt_tpu.tools.config import Config  # noqa: E402
+
+DT = jnp.bfloat16
+
+
+def timed_scan(fn, params, args, steps_lo=50, steps_hi=200):
+    """Per-call ms via the two-length slope: time a scan of `steps_lo` calls
+    and one of `steps_hi`, and divide the difference by the step delta.
+
+    Pitfalls this harness defends against (PERF.md measurement note):
+    - zero-init final layers let XLA constant-fold a whole module away, so
+      params are re-randomized before timing;
+    - the remote executor dedups repeated identical calls, so a per-rep seed
+      feeds the computation;
+    - the dispatch round-trip (~30 ms on the tunneled executor) would swamp a
+      short scan — the slope between two scan lengths cancels it exactly.
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        0.05 * jax.random.normal(k, l.shape, jnp.float32).astype(l.dtype)
+        for k, l in zip(keys, leaves)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+
+    def make(steps):
+        @jax.jit
+        def run(params, args, seed):
+            def body(carry, i):
+                out = fn(params, *jax.tree.map(lambda a: a, args), i)
+                return carry + jnp.sum(out.astype(jnp.float32)), None
+
+            xs = seed + jnp.arange(steps, dtype=jnp.float32) * 1e-6
+            tot, _ = jax.lax.scan(body, 0.0, xs)
+            return tot
+
+        return run
+
+    totals = {}
+    for si, steps in enumerate((steps_lo, steps_hi)):
+        run = make(steps)
+        jax.block_until_ready(run(params, args, jnp.float32(0.0)))
+        times = []
+        for rep in range(3):
+            seed = jnp.float32((si * 3 + rep + 1) * 1e-4)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params, args, seed))
+            times.append(time.perf_counter() - t0)
+        totals[steps] = min(times)
+    return (totals[steps_hi] - totals[steps_lo]) / (steps_hi - steps_lo) * 1e3
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    B = 1
+    cfg = Config()
+    ipa_conf = cfg.model.ipa
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 10)
+
+    s = jax.random.normal(ks[0], (B, N, ipa_conf.c_s), DT)
+    z = jax.random.normal(ks[1], (B, N, N, cfg.model.edge_embed_size), DT)
+    mask = jnp.ones((B, N), jnp.float32)
+    quats = jax.random.normal(ks[2], (B, N, 4), jnp.float32)
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    trans = jax.random.normal(ks[3], (B, N, 3), jnp.float32)
+    t7 = jnp.concatenate([quats, trans], axis=-1)
+    rigids = Rigid.from_tensor7(t7)
+
+    rows = {}
+
+    def want(name):
+        return only is None or only == name
+
+    # IPA attention (XLA path).
+    ipa = InvariantPointAttention(ipa_conf, dtype=DT)
+    p_ipa = ipa.init(ks[4], s, z, rigids, mask)
+
+    def run_ipa(p, s, z, t7, mask, i):
+        # z must vary per step: in the sampler the pair rep is rebuilt every
+        # diffusion step, so the kernel-hoisting XLA would do for a
+        # loop-invariant z never happens in real execution.
+        r = Rigid.from_tensor7(t7)
+        return ipa.apply(p, s + i * 1e-6, z + i.astype(z.dtype), r, mask)
+
+    if want("ipa"):
+        rows["ipa_attention (x4)"] = (
+            timed_scan(run_ipa, p_ipa, (s, z, t7, mask)), 4
+        )
+
+    # Edge transition, XLA and pallas.
+    for use_pallas in (False, True):
+        et = EdgeTransition(
+            node_embed_size=ipa_conf.c_s,
+            edge_embed_out=cfg.model.edge_embed_size,
+            dtype=DT,
+            use_pallas=use_pallas,
+        )
+        p_et = et.init(ks[5], s, z, mask.astype(DT))
+
+        def run_et(p, s, z, mask, i, _et=et):
+            return _et.apply(
+                p, s + i * 1e-6, z + i.astype(z.dtype), mask.astype(DT)
+            )
+
+        label = "et_pallas" if use_pallas else "et_xla"
+        if want(label):
+            rows[label + " (x3)"] = (timed_scan(run_et, p_et, (s, z, mask)), 3)
+
+    # Sequence transformer layer (x8 = 4 blocks x 2 layers).
+    d_model = ipa_conf.c_s + ipa_conf.c_skip
+    st = SeqTransformerLayer(
+        d_model=d_model, num_heads=ipa_conf.seq_tfmr_num_heads, dtype=DT
+    )
+    x = jax.random.normal(ks[6], (B, N, d_model), DT)
+    p_st = st.init(ks[7], x, mask)
+
+    def run_st(p, x, mask, i):
+        return st.apply(p, x + i * 1e-6, mask)
+
+    if want("seq_tfmr"):
+        rows["seq_tfmr_layer (x8)"] = (timed_scan(run_st, p_st, (x, mask)), 8)
+
+    # Node transition (x4).
+    nt = StructureModuleTransition(c=ipa_conf.c_s, dtype=DT)
+    p_nt = nt.init(ks[8], s)
+
+    def run_nt(p, s, i):
+        return nt.apply(p, s + i * 1e-6)
+
+    if want("node_transition"):
+        rows["node_transition (x4)"] = (timed_scan(run_nt, p_nt, (s,)), 4)
+
+    # Embedder (x1).
+    emb = Embedder(cfg.model, inpainting=True, dtype=DT)
+    seq_idx = jnp.tile(jnp.arange(N)[None], (B, 1))
+    tt = jnp.full((B,), 0.5)
+    fixed = jnp.zeros((B, N))
+    sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
+    aatype = jnp.zeros((B, N), jnp.int32)
+    p_emb = emb.init(
+        key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+        self_conditioning_ca=sc_ca, aatype=aatype,
+    )
+
+    def run_emb(p, sc_ca, i):
+        n, e = emb.apply(
+            p, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+            self_conditioning_ca=sc_ca + i * 1e-6, aatype=aatype,
+        )
+        return e
+
+    if want("embedder"):
+        rows["embedder (x1)"] = (timed_scan(run_emb, p_emb, (sc_ca,)), 1)
+
+    for name, (ms, mult) in rows.items():
+        print(f"RESULT {name:24s} {ms:8.4f} ms x{mult} -> {ms * mult:8.4f} ms/fwd")
+
+
+def driver(N):
+    """Run each component in its own process: the tunneled executor retires
+    work asynchronously, so a single process mis-attributes time between
+    back-to-back measurements of different executables."""
+    import subprocess
+
+    comps = [
+        "embedder", "ipa", "et_xla", "et_pallas", "seq_tfmr", "node_transition"
+    ]
+    print(f"N={N} B=1 dtype=bf16 (ms per single call, in-scan; slope method)")
+    for comp in comps:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(N), comp],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT"):
+                print("  " + line[7:])
+        if out.returncode != 0:
+            print(f"  {comp}: FAILED\n{out.stderr[-500:]}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2:
+        main()
+    else:
+        driver(int(sys.argv[1]) if len(sys.argv) > 1 else 512)

@@ -245,3 +245,125 @@ def test_trainable_kernel_gradients_embedder_variant():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_rel_cp_factors_exact():
+    """CP factor product == sinusoid embedding of the index difference."""
+    from framedipt_tpu.model.embed import get_index_embedding
+    from framedipt_tpu.model.pallas.edge_embedder import (
+        expand_w_rel,
+        rel_cp_factors,
+    )
+
+    rng = np.random.default_rng(11)
+    E = 32
+    seq_idx = jnp.asarray(rng.integers(0, 500, size=(1, 33)), jnp.int32)
+    g, h = rel_cp_factors(seq_idx, E)
+    w = jnp.asarray(rng.normal(size=(E, 5)).astype(np.float32))
+
+    rel = get_index_embedding(
+        seq_idx[:, :, None] - seq_idx[:, None, :], E
+    )  # [1, N, N, 32]
+    expect = jnp.einsum("bije,ec->bijc", rel, w)
+    got = jnp.einsum(
+        "bik,bjk,kc->bijc", g, h, expand_w_rel(w)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=2e-4, rtol=1e-4
+    )
+
+
+def _tiny_embedder_setup(n=20, use_pallas=False):
+    import dataclasses
+
+    from framedipt_tpu.model.embed import Embedder
+    from framedipt_tpu.tools.config import Config
+
+    cfg = Config()
+    m = dataclasses.replace(cfg.model)
+    m.node_embed_size = 24
+    m.edge_embed_size = 16
+    m.ipa = dataclasses.replace(
+        m.ipa, pallas_tile_i=8, pallas_tile_j=16,
+        pallas_emb_tile_i=8, pallas_emb_tile_j=16,
+    )
+    emb = Embedder(m, inpainting=True, use_pallas=use_pallas)
+    rng = np.random.default_rng(12)
+    B = 1
+    feats = dict(
+        seq_idx=jnp.asarray(rng.integers(0, 40, size=(B, n)), jnp.int32),
+        t=jnp.full((B,), 0.37, jnp.float32),
+        fixed_mask=jnp.asarray(
+            (rng.random((B, n)) > 0.5).astype(np.float32)
+        ),
+        self_conditioning_ca=jnp.asarray(
+            rng.normal(size=(B, n, 3)).astype(np.float32) * 6
+        ),
+        aatype=jnp.asarray(rng.integers(0, 21, size=(B, n)), jnp.int32),
+    )
+    mask_np = np.ones((B, n), np.float32)
+    mask_np[:, -3:] = 0.0
+    return emb, feats, jnp.asarray(mask_np)
+
+
+def test_fused_edge_embedder_matches_xla_embedder():
+    """The fully-fused embedder kernel (in-kernel rel sinusoids + distogram)
+    vs the XLA Embedder path, through the flax module."""
+    emb_xla, feats, mask = _tiny_embedder_setup(n=20, use_pallas=False)
+    emb_pal, _, _ = _tiny_embedder_setup(n=20, use_pallas=True)
+    params = emb_xla.init(jax.random.PRNGKey(0), **feats)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(13).normal(size=x.shape).astype(
+            np.float32
+        ),
+        params,
+    )
+    node_x, edge_x = emb_xla.apply(params, **feats)
+    edge_x = edge_x * (mask[:, :, None] * mask[:, None, :])[..., None]
+    with pltpu.force_tpu_interpret_mode():
+        node_p, edge_p = emb_pal.apply(params, **feats, node_mask=mask)
+    np.testing.assert_allclose(np.asarray(node_x), np.asarray(node_p), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(edge_x), np.asarray(edge_p), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_fused_edge_embedder_gradients():
+    """Trainable path: pallas forward + rematerialized XLA backward must match
+    differentiating the plain XLA embedder (weights + coordinate grads are
+    zero a.e. through the distogram either way)."""
+    emb_xla, feats, mask = _tiny_embedder_setup(n=16, use_pallas=False)
+    emb_pal, _, _ = _tiny_embedder_setup(n=16, use_pallas=True)
+    params = emb_xla.init(jax.random.PRNGKey(0), **feats)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(14).normal(size=x.shape).astype(
+            np.float32
+        ),
+        params,
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(15).normal(size=(1, 16, 16, 16)).astype(
+            np.float32
+        )
+    )
+
+    def loss_xla(p):
+        _, e = emb_xla.apply(p, **feats)
+        e = e * (mask[:, :, None] * mask[:, None, :])[..., None]
+        return jnp.sum(e * cot)
+
+    def loss_pal(p):
+        _, e = emb_pal.apply(p, **feats, node_mask=mask)
+        return jnp.sum(e * cot)
+
+    g_xla = jax.grad(loss_xla)(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal)(params)
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pal)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        )
