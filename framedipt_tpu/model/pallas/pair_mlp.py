@@ -71,10 +71,11 @@ def _pair_mlp_kernel(
     # LayerNorm statistics are f32, as in the XLA path.
     # (Mosaic requires 32-bit matmul accumulators, so each dot emits f32
     # and is cast to the compute dtype right away.)
-    # y0 = relu(pair @ W0 + i_term + j_term + b0).
+    # y0 = relu(pair @ W0 + i_term + j_term); b0 is pre-folded into the
+    # i_term by the wrapper (one fewer [TI,TJ,H] VPU pass per tile).
     y0 = jnp.dot(pair, w0_ref[:], preferred_element_type=F32).astype(dtype)
     y0 = y0.reshape(ti, tj, h) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
-    y0 = jax.nn.relu(y0 + b0_ref[:].reshape(1, 1, h))
+    y0 = jax.nn.relu(y0)
 
     # y1 = relu(y0 @ W1 + b1)
     y1 = jnp.dot(
@@ -90,8 +91,10 @@ def _pair_mlp_kernel(
         ).astype(dtype)
     out = out.reshape(ti, tj, c_out)
     if residual:
+        # bf is pre-folded into fi by the wrapper.
         out = out + fi_ref[0][:, None, :] + fj_ref[0][None, :, :]
-    out = out + bf_ref[:].reshape(1, 1, c_out)
+    else:
+        out = out + bf_ref[:].reshape(1, 1, c_out)
 
     # Fused LayerNorm (f32 statistics, matching flax nn.LayerNorm eps=1e-6)
     # + edge-mask epilogue, so no elementwise pass survives outside the call.
@@ -107,7 +110,8 @@ def _pair_mlp_kernel(
     # BlockSpecs satisfy the TPU lane-alignment rules (a [1, TI]-style
     # lane-dim tile would need 128-multiple offsets).
     # f32 before the minor-dim insert: Mosaic only supports [:, :, None]
-    # reshapes for 32-bit element types.
+    # reshapes for 32-bit element types (a bf16 mask insert fails to
+    # compile, so the mask product stays f32).
     mask = rmask_ref[0].astype(F32) * cmask_ref[0].astype(F32)  # [TI, TJ]
     out_ref[0] = (normed * mask[:, :, None]).astype(out_ref.dtype)
 
@@ -143,6 +147,13 @@ def fused_pair_mlp(
     h = w0.shape[1]
     c_out = wf.shape[1]
     dtype = pair.dtype
+
+    # Fold the first-layer bias into the row term, and (residual variant)
+    # the final bias into the row residual term: one fewer full-tile VPU
+    # broadcast-add per bias inside the kernel. fp reassociation only.
+    i_term = i_term + b0
+    if residual:
+        fi = fi + bf
 
     # f32 inputs double the VMEM stack footprint: a 16x256 f32 tile OOMs the
     # ~16 MB scoped budget (22.6 MB measured) that the same bf16 tile fits.

@@ -120,8 +120,12 @@ def main():
             timed_scan(run_ipa, p_ipa, (s, z, t7, mask)), 4
         )
 
-    # Edge transition, XLA and pallas.
+    # Edge transition, XLA and pallas. Init lazily: module init traces (and
+    # on TPU, compiles) the kernel, so only build what this process times.
     for use_pallas in (False, True):
+        label = "et_pallas" if use_pallas else "et_xla"
+        if not want(label):
+            continue
         et = EdgeTransition(
             node_embed_size=ipa_conf.c_s,
             edge_embed_out=cfg.model.edge_embed_size,
@@ -135,9 +139,7 @@ def main():
                 p, s + i * 1e-6, z + i.astype(z.dtype), mask.astype(DT)
             )
 
-        label = "et_pallas" if use_pallas else "et_xla"
-        if want(label):
-            rows[label + " (x3)"] = (timed_scan(run_et, p_et, (s, z, mask)), 3)
+        rows[label + " (x3)"] = (timed_scan(run_et, p_et, (s, z, mask)), 3)
 
     # Sequence transformer layer (x8 = 4 blocks x 2 layers).
     d_model = ipa_conf.c_s + ipa_conf.c_skip

@@ -111,7 +111,10 @@ def test_two_process_distributed_train_step(tmp_path):
                 text=True,
             )
         )
-    outs = [p.communicate(timeout=540) for p in procs]
+    # Generous budget: each worker compiles the train step from scratch, and
+    # under a fully loaded machine (rest of the suite + TPU benches) the
+    # compile can take several minutes — 540 s flaked in full-suite runs.
+    outs = [p.communicate(timeout=1200) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
     losses = []
