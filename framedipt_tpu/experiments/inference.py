@@ -71,21 +71,7 @@ class Inference:
         self.inpainting = self.cfg.inference.inpainting
         # Auto mode: fused Pallas kernels when the sampler will actually run
         # on a TPU (sampling is forward-only); XLA formulation on CPU/GPU.
-        # jax.default_backend() is NOT the right check — it reports the
-        # highest-priority registered backend, which stays "tpu" even when
-        # jax_default_device pins execution to CPU (as the test harness
-        # does). Probe where an uncommitted array lands instead: that is the
-        # device the jitted sampler will compile for.
-        on_tpu = None
-        for flag in ("use_pallas_kernel", "use_pallas_embedder"):
-            if getattr(self.cfg.model.ipa, flag) is None:
-                if on_tpu is None:
-                    on_tpu = (
-                        next(iter(jnp.zeros(()).devices())).platform == "tpu"
-                    )
-                setattr(self.cfg.model.ipa, flag, on_tpu)
-                if on_tpu:
-                    logger.info(f"fused Pallas kernel enabled ({flag})")
+        exp_utils.resolve_pallas_flags(self.cfg, logger)
         self.model = ScoreNetwork(
             self.cfg.model, self.diffuser, inpainting=self.inpainting
         )

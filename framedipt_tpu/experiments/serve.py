@@ -58,6 +58,10 @@ class InpaintingService:
             self.cfg = cfg
             self._state_dict = state_dict
         self.diffuser = SE3Diffuser(cfg.diffuser)
+        # Same auto-kernel policy as the inference CLI (TPU-only).
+        from framedipt_tpu.experiments.utils import resolve_pallas_flags
+
+        resolve_pallas_flags(cfg, logger)
         self.model = ScoreNetwork(cfg.model, self.diffuser, inpainting=True)
         if weights:
             self._params = jax.tree_util.tree_map(

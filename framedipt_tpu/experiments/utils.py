@@ -90,3 +90,25 @@ class Timer:
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self._start
         return False
+
+
+def resolve_pallas_flags(cfg, logger=None) -> None:
+    """Resolve auto (None) Pallas-kernel flags in cfg.model.ipa, in place.
+
+    Enabled iff the jitted sampler will actually execute on a TPU. NOTE:
+    ``jax.default_backend()`` is the wrong probe — it reports the highest
+    priority *registered* backend, which stays "tpu" whenever the TPU
+    plugin is present even if ``jax_default_device`` pins execution to CPU
+    (as the test harness does). Instead probe where an uncommitted array
+    lands: that is the device jit will compile for.
+    """
+    import jax.numpy as jnp
+
+    on_tpu = None
+    for flag in ("use_pallas_kernel", "use_pallas_embedder"):
+        if getattr(cfg.model.ipa, flag) is None:
+            if on_tpu is None:
+                on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
+            setattr(cfg.model.ipa, flag, on_tpu)
+            if on_tpu and logger is not None:
+                logger.info(f"fused Pallas kernel enabled ({flag})")

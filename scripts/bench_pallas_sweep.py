@@ -43,12 +43,17 @@ def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16",
         model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.1,
         inpainting=True, aux_traj=False,
     )
-    out = run(params, feats, jax.random.PRNGKey(1))
+    # Time-salted keys: the executor result cache is persistent across
+    # processes; identical (executable, inputs) repeats return cached
+    # trajectories at dispatch speed.
+    base = time.time_ns() % (2**31 - 1)
+    out = run(params, feats, jax.random.PRNGKey(base))
     jax.block_until_ready(out)
+    jax.block_until_ready(run(params, feats, jax.random.PRNGKey(base + 99)))
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = run(params, feats, jax.random.PRNGKey(2 + i))
+        out = run(params, feats, jax.random.PRNGKey(base + 1 + i))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return num_t / min(times)

@@ -41,8 +41,12 @@ def timed_scan(fn, params, args, steps_lo=50, steps_hi=200):
     Pitfalls this harness defends against (PERF.md measurement note):
     - zero-init final layers let XLA constant-fold a whole module away, so
       params are re-randomized before timing;
-    - the remote executor dedups repeated identical calls, so a per-rep seed
-      feeds the computation;
+    - ``jax.block_until_ready`` on the scalar result of a jitted scan can
+      RETURN WITHOUT EXECUTING on the tunneled backend (totals read ~0.1 ms
+      and the first value fetch then pays the whole compile+run), so every
+      timed call forces the value to host with ``float()``;
+    - the remote executor dedups repeated identical calls, so a per-rep
+      time-salted seed feeds the computation;
     - the dispatch round-trip (~30 ms on the tunneled executor) would swamp a
       short scan — the slope between two scan lengths cancels it exactly.
     """
@@ -67,17 +71,20 @@ def timed_scan(fn, params, args, steps_lo=50, steps_hi=200):
 
         return run
 
+    salt = (time.time_ns() % 1_000_000_007) * 1e-12
     totals = {}
     for si, steps in enumerate((steps_lo, steps_hi)):
         run = make(steps)
-        jax.block_until_ready(run(params, args, jnp.float32(0.0)))
+        float(run(params, args, jnp.float32(salt)))  # compile + execute
         times = []
         for rep in range(3):
-            seed = jnp.float32((si * 3 + rep + 1) * 1e-4)
+            seed = jnp.float32(salt + (si * 3 + rep + 1) * 1e-4)
             t0 = time.perf_counter()
-            jax.block_until_ready(run(params, args, seed))
+            float(run(params, args, seed))  # value-forced: see docstring
             times.append(time.perf_counter() - t0)
         totals[steps] = min(times)
+        if os.environ.get("PROFILE_DEBUG"):
+            print(f"    steps={steps} totals={[f'{t*1e3:.1f}' for t in times]} ms")
     return (totals[steps_hi] - totals[steps_lo]) / (steps_hi - steps_lo) * 1e3
 
 
@@ -93,29 +100,33 @@ def main():
     s = jax.random.normal(ks[0], (B, N, ipa_conf.c_s), DT)
     z = jax.random.normal(ks[1], (B, N, N, cfg.model.edge_embed_size), DT)
     mask = jnp.ones((B, N), jnp.float32)
-    quats = jax.random.normal(ks[2], (B, N, 4), jnp.float32)
-    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
-    trans = jax.random.normal(ks[3], (B, N, 3), jnp.float32)
-    t7 = jnp.concatenate([quats, trans], axis=-1)
-    rigids = Rigid.from_tensor7(t7)
 
     rows = {}
 
     def want(name):
         return only is None or only == name
 
-    # IPA attention (XLA path).
-    ipa = InvariantPointAttention(ipa_conf, dtype=DT)
-    p_ipa = ipa.init(ks[4], s, z, rigids, mask)
+    # Every section is lazy so one process builds (and compiles) only the
+    # component it measures.
 
-    def run_ipa(p, s, z, t7, mask, i):
-        # z must vary per step: in the sampler the pair rep is rebuilt every
-        # diffusion step, so the kernel-hoisting XLA would do for a
-        # loop-invariant z never happens in real execution.
-        r = Rigid.from_tensor7(t7)
-        return ipa.apply(p, s + i * 1e-6, z + i.astype(z.dtype), r, mask)
-
+    # IPA attention (XLA path). The frame tensors are built only here:
+    # their eager ops on the tunneled backend poison later measurements.
     if want("ipa"):
+        quats = jax.random.normal(ks[2], (B, N, 4), jnp.float32)
+        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        trans = jax.random.normal(ks[3], (B, N, 3), jnp.float32)
+        t7 = jnp.concatenate([quats, trans], axis=-1)
+        rigids = Rigid.from_tensor7(t7)
+        ipa = InvariantPointAttention(ipa_conf, dtype=DT)
+        p_ipa = ipa.init(ks[4], s, z, rigids, mask)
+
+        def run_ipa(p, s, z, t7, mask, i):
+            # z must vary per step: in the sampler the pair rep is rebuilt
+            # every diffusion step, so the kernel-hoisting XLA would do for
+            # a loop-invariant z never happens in real execution.
+            r = Rigid.from_tensor7(t7)
+            return ipa.apply(p, s + i * 1e-6, z + i.astype(z.dtype), r, mask)
+
         rows["ipa_attention (x4)"] = (
             timed_scan(run_ipa, p_ipa, (s, z, t7, mask)), 4
         )
@@ -142,49 +153,49 @@ def main():
         rows[label + " (x3)"] = (timed_scan(run_et, p_et, (s, z, mask)), 3)
 
     # Sequence transformer layer (x8 = 4 blocks x 2 layers).
-    d_model = ipa_conf.c_s + ipa_conf.c_skip
-    st = SeqTransformerLayer(
-        d_model=d_model, num_heads=ipa_conf.seq_tfmr_num_heads, dtype=DT
-    )
-    x = jax.random.normal(ks[6], (B, N, d_model), DT)
-    p_st = st.init(ks[7], x, mask)
-
-    def run_st(p, x, mask, i):
-        return st.apply(p, x + i * 1e-6, mask)
-
     if want("seq_tfmr"):
+        d_model = ipa_conf.c_s + ipa_conf.c_skip
+        st = SeqTransformerLayer(
+            d_model=d_model, num_heads=ipa_conf.seq_tfmr_num_heads, dtype=DT
+        )
+        x = jax.random.normal(ks[6], (B, N, d_model), DT)
+        p_st = st.init(ks[7], x, mask)
+
+        def run_st(p, x, mask, i):
+            return st.apply(p, x + i * 1e-6, mask)
+
         rows["seq_tfmr_layer (x8)"] = (timed_scan(run_st, p_st, (x, mask)), 8)
 
     # Node transition (x4).
-    nt = StructureModuleTransition(c=ipa_conf.c_s, dtype=DT)
-    p_nt = nt.init(ks[8], s)
-
-    def run_nt(p, s, i):
-        return nt.apply(p, s + i * 1e-6)
-
     if want("node_transition"):
+        nt = StructureModuleTransition(c=ipa_conf.c_s, dtype=DT)
+        p_nt = nt.init(ks[8], s)
+
+        def run_nt(p, s, i):
+            return nt.apply(p, s + i * 1e-6)
+
         rows["node_transition (x4)"] = (timed_scan(run_nt, p_nt, (s,)), 4)
 
     # Embedder (x1).
-    emb = Embedder(cfg.model, inpainting=True, dtype=DT)
-    seq_idx = jnp.tile(jnp.arange(N)[None], (B, 1))
-    tt = jnp.full((B,), 0.5)
-    fixed = jnp.zeros((B, N))
-    sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
-    aatype = jnp.zeros((B, N), jnp.int32)
-    p_emb = emb.init(
-        key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
-        self_conditioning_ca=sc_ca, aatype=aatype,
-    )
-
-    def run_emb(p, sc_ca, i):
-        n, e = emb.apply(
-            p, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
-            self_conditioning_ca=sc_ca + i * 1e-6, aatype=aatype,
-        )
-        return e
-
     if want("embedder"):
+        emb = Embedder(cfg.model, inpainting=True, dtype=DT)
+        seq_idx = jnp.tile(jnp.arange(N)[None], (B, 1))
+        tt = jnp.full((B,), 0.5)
+        fixed = jnp.zeros((B, N))
+        sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
+        aatype = jnp.zeros((B, N), jnp.int32)
+        p_emb = emb.init(
+            key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+            self_conditioning_ca=sc_ca, aatype=aatype,
+        )
+
+        def run_emb(p, sc_ca, i):
+            n, e = emb.apply(
+                p, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+                self_conditioning_ca=sc_ca + i * 1e-6, aatype=aatype,
+            )
+            return e
+
         rows["embedder (x1)"] = (timed_scan(run_emb, p_emb, (sc_ca,)), 1)
 
     for name, (ms, mult) in rows.items():
