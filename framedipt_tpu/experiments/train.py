@@ -184,6 +184,9 @@ def train(cfg: Config) -> None:
         cfg.model.ipa.use_pallas_kernel = False
     if cfg.model.ipa.use_pallas_embedder is None:
         cfg.model.ipa.use_pallas_embedder = False
+    if cfg.model.ipa.use_pallas_ipa is None:
+        # Forward-only kernel: training always uses the XLA formulation.
+        cfg.model.ipa.use_pallas_ipa = False
     model = ScoreNetwork(cfg.model, diffuser, inpainting=cfg.experiment.inpainting)
     optimizer = make_optimizer(cfg.experiment.learning_rate)
     dataset = TrainDataset(cfg, rng)

@@ -105,6 +105,10 @@ def resolve_pallas_flags(cfg, logger=None) -> None:
     import jax.numpy as jnp
 
     on_tpu = None
+    # use_pallas_ipa is NOT auto-enabled: the fused IPA attention kernel is
+    # MXU-padding-bound on the narrow bias/down_z projections and loses to
+    # XLA (PERF.md round-2 negative results). It stays a flag-gated
+    # reference implementation.
     for flag in ("use_pallas_kernel", "use_pallas_embedder"):
         if getattr(cfg.model.ipa, flag) is None:
             if on_tpu is None:

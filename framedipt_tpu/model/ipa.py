@@ -63,6 +63,7 @@ class InvariantPointAttention(nn.Module):
     inf: float = 1e5
     eps: float = 1e-8
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -96,15 +97,6 @@ class InvariantPointAttention(nn.Module):
         kv_pts = _apply_frames(mats, trans, kv_pts).reshape(B, N, H, Pq + Pv, 3)
         k_pts, v_pts = jnp.split(kv_pts, [Pq], axis=-2)
 
-        # Pair bias.
-        b = Linear(H, dtype=self.dtype, name="linear_b")(z)  # [B, N, N, H]
-
-        # Scalar logits: [B, H, N, N] (f32 accumulation).
-        a = jnp.einsum("bihc,bjhc->bhij", q, k, preferred_element_type=F32)
-        a = a * np.sqrt(1.0 / (3 * C))
-        a = a + np.sqrt(1.0 / 3) * jnp.moveaxis(b.astype(F32), -1, 1)
-
-        # Point logits via squared-distance expansion (MXU matmul form).
         head_weights = jax.nn.softplus(
             self.param(
                 "head_weights",
@@ -113,52 +105,107 @@ class InvariantPointAttention(nn.Module):
             )
         )
         pt_scale = head_weights * np.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))  # [H]
-        sq_q = jnp.sum(q_pts**2, axis=(-1, -2))  # [B, N, H]
-        sq_k = jnp.sum(k_pts**2, axis=(-1, -2))  # [B, N, H]
-        qk_pts = jnp.einsum(
-            "bihpc,bjhpc->bhij", q_pts, k_pts, preferred_element_type=F32
-        )
-        sq_dist = (
-            jnp.moveaxis(sq_q, -1, 1)[..., :, None]
-            + jnp.moveaxis(sq_k, -1, 1)[..., None, :]
-            - 2.0 * qk_pts
-        )  # [B, H, N, N]
-        a = a + (-0.5) * pt_scale[None, :, None, None] * sq_dist
 
-        # Mask + softmax over keys. Under sequence parallelism the logits
-        # are sharded by query rows (softmax over keys stays local).
-        square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
-        a = a + square_mask[:, None, :, :]
-        a = sp.constrain_attn(a)
-        a = jax.nn.softmax(a, axis=-1)
+        # The fused kernel holds all keys in VMEM per row tile, so it is
+        # gated to lengths whose k/v/point tensors fit (~16 MB/core).
+        if self.use_pallas and N <= 640:
+            from framedipt_tpu.model.pallas.ipa_attention import (
+                build_point_inputs,
+                fused_ipa_attention,
+                PT_PAD,
+            )
 
-        # Scalar output (attention weights cast to the compute dtype so the
-        # big matmul rides the MXU at full rate; accumulation stays f32).
-        o = jnp.einsum(
-            "bhij,bjhc->bihc", a.astype(self.dtype), v, preferred_element_type=F32
-        )
-        o = o.reshape(B, N, H * C)
+            # Raw projection weights, importer-compatible param tree. The
+            # pair-bias bias shifts every logit in a row equally, so it
+            # cancels in the softmax and is omitted; the down_z bias adds
+            # b_dz to o_pair exactly (attention rows sum to 1).
+            wb, _ = Linear(H, dtype=self.dtype, name="linear_b")(
+                z, return_weights=True
+            )
+            wdz, bdz = Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(
+                z, return_weights=True
+            )
+            qhat, khat, vpad = build_point_inputs(
+                q_pts, k_pts, v_pts, pt_scale
+            )
+            q_flat = (q * np.sqrt(1.0 / (3 * C))).reshape(B, N, H * C)
+            o, opt_f, opair_f = fused_ipa_attention(
+                q_flat.astype(self.dtype),
+                k.reshape(B, N, H * C).astype(self.dtype),
+                v.reshape(B, N, H * C).astype(self.dtype),
+                qhat,
+                khat,
+                vpad,
+                z.astype(self.dtype),
+                mask,
+                wb * np.sqrt(1.0 / 3),
+                wdz,
+                no_heads=H,
+                c_hidden=C,
+                inf=self.inf,
+            )
+            o_pt_global = (
+                opt_f.reshape(B, N, H, PT_PAD)[..., : Pv * 3]
+                .reshape(B, N, H * Pv, 3)
+            )
+            o_pair = (
+                opair_f.reshape(B, N, H, -1) + bdz.astype(F32)
+            ).reshape(B, N, -1)
+        else:
+            # Pair bias.
+            b = Linear(H, dtype=self.dtype, name="linear_b")(z)  # [B,N,N,H]
 
-        # Point output: attention-weighted global points -> local frames.
-        o_pt = jnp.einsum(
-            "bhij,bjhpc->bihpc", a, v_pts, preferred_element_type=F32
-        )
-        o_pt = _invert_apply_frames(
-            mats, trans, o_pt.reshape(B, N, H * Pv, 3)
-        )  # [B, N, H*Pv, 3]
-        o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + self.eps)  # [B, N, H*Pv]
+            # Scalar logits: [B, H, N, N] (f32 accumulation).
+            a = jnp.einsum("bihc,bjhc->bhij", q, k, preferred_element_type=F32)
+            a = a * np.sqrt(1.0 / (3 * C))
+            a = a + np.sqrt(1.0 / 3) * jnp.moveaxis(b.astype(F32), -1, 1)
 
-        # Pair output through the down-projected pair rep.
-        pair_z = sp.constrain_edge(
-            Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(z)
-        )
-        o_pair = jnp.einsum(
-            "bhij,bijd->bihd", a.astype(self.dtype), pair_z,
-            preferred_element_type=F32,
-        ).reshape(B, N, -1)
+            # Point logits via squared-distance expansion (MXU matmul form).
+            sq_q = jnp.sum(q_pts**2, axis=(-1, -2))  # [B, N, H]
+            sq_k = jnp.sum(k_pts**2, axis=(-1, -2))  # [B, N, H]
+            qk_pts = jnp.einsum(
+                "bihpc,bjhpc->bhij", q_pts, k_pts, preferred_element_type=F32
+            )
+            sq_dist = (
+                jnp.moveaxis(sq_q, -1, 1)[..., :, None]
+                + jnp.moveaxis(sq_k, -1, 1)[..., None, :]
+                - 2.0 * qk_pts
+            )  # [B, H, N, N]
+            a = a + (-0.5) * pt_scale[None, :, None, None] * sq_dist
 
-        # Concat order matches the reference for weight-import parity:
+            # Mask + softmax over keys. Under sequence parallelism the
+            # logits are sharded by query rows (softmax stays local).
+            square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
+            a = a + square_mask[:, None, :, :]
+            a = sp.constrain_attn(a)
+            a = jax.nn.softmax(a, axis=-1)
+
+            # Scalar output (attention weights cast to the compute dtype so
+            # the big matmul rides the MXU; accumulation stays f32).
+            o = jnp.einsum(
+                "bhij,bjhc->bihc", a.astype(self.dtype), v,
+                preferred_element_type=F32,
+            ).reshape(B, N, H * C)
+
+            # Point output: attention-weighted global points.
+            o_pt_global = jnp.einsum(
+                "bhij,bjhpc->bihpc", a, v_pts, preferred_element_type=F32
+            ).reshape(B, N, H * Pv, 3)
+
+            # Pair output through the down-projected pair rep.
+            pair_z = sp.constrain_edge(
+                Linear(c.c_z // 4, dtype=self.dtype, name="down_z")(z)
+            )
+            o_pair = jnp.einsum(
+                "bhij,bijd->bihd", a.astype(self.dtype), pair_z,
+                preferred_element_type=F32,
+            ).reshape(B, N, -1)
+
+        # Shared tail: global points -> local frames, norms, concat. Order
+        # matches the reference for weight-import parity:
         # [o, o_pt.x, o_pt.y, o_pt.z, o_pt_norm, o_pair] (ipa_pytorch.py:324).
+        o_pt = _invert_apply_frames(mats, trans, o_pt_global)
+        o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + self.eps)
         o_feats = jnp.concatenate(
             [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm, o_pair],
             axis=-1,
@@ -391,7 +438,10 @@ class IpaTrunk(nn.Module):
 
         for b in range(ipa_conf.num_blocks):
             ipa_embed = InvariantPointAttention(
-                ipa_conf, dtype=dtype, name=f"ipa_{b}"
+                ipa_conf,
+                dtype=dtype,
+                use_pallas=bool(ipa_conf.use_pallas_ipa),
+                name=f"ipa_{b}",
             )(node_embed, edge_embed, curr, node_mask)
             ipa_embed = ipa_embed * node_mask[..., None].astype(dtype)
             node_embed = nn.LayerNorm(dtype=dtype, name=f"ipa_ln_{b}")(

@@ -58,20 +58,34 @@ class Linear(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, return_weights: bool = False
+    ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray | None]:
+        """Apply the layer, or with ``return_weights`` return the raw
+        (kernel, bias) instead — used by fused Pallas paths that consume the
+        weights in-kernel while keeping the importer-compatible param tree
+        (x then only provides the input feature size)."""
         bias_init = (
             nn.initializers.ones_init()
             if self.w_init == "gating"
             else nn.initializers.zeros_init()
         )
-        return nn.Dense(
+        dense = nn.Dense(
             self.features,
             use_bias=self.use_bias,
             kernel_init=_KERNEL_INITS[self.w_init],
             bias_init=bias_init,
             dtype=self.dtype,
             name="dense",
-        )(x)
+        )
+        if return_weights:
+            # Build params at the right shape without the full matmul.
+            _ = dense(jnp.zeros((1, x.shape[-1]), jnp.float32))
+            params = dense.variables["params"]
+            return params["kernel"], (
+                params["bias"] if self.use_bias else None
+            )
+        return dense(x)
 
 
 class MLP(nn.Module):

@@ -56,6 +56,7 @@ def build_inference_fn(
     if sp_mesh is not None and (
         bool(getattr(model.conf.ipa, "use_pallas_kernel", False))
         or bool(getattr(model.conf.ipa, "use_pallas_embedder", False))
+        or bool(getattr(model.conf.ipa, "use_pallas_ipa", False))
     ):
         raise ValueError(
             "sequence parallelism (sp_mesh) requires the XLA edge-stack "

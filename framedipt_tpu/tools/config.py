@@ -102,6 +102,12 @@ class IPAConfig:
     # best at len-512 — see PERF.md round-2 fused edge-embedder notes).
     pallas_emb_tile_i: int = 16
     pallas_emb_tile_j: int = 256
+    # Fused IPA attention kernel (one pass over z, no [N, N] intermediates
+    # in HBM; forward-only). Measured SLOWER than XLA: the narrow pair-bias
+    # (8-lane) and down_z (32-lane) projections are MXU-padding-bound at
+    # the 128-lane systolic granularity (PERF.md negative results). Kept as
+    # a tested, flag-gated reference; never auto-enabled.
+    use_pallas_ipa: bool | None = None
 
 
 @dataclass

@@ -33,6 +33,7 @@ def bench(num_res, num_t, use_pallas, tile=(32, 128), dtype="bfloat16",
         mc.ipa,
         use_pallas_kernel=use_pallas,
         use_pallas_embedder=use_pallas_embedder,
+
         pallas_tile_i=tile[0],
         pallas_tile_j=tile[1],
     )

@@ -138,7 +138,10 @@ def test_full_model_pallas_matches_xla():
 
     m_pallas = dataclasses.replace(m)
     m_pallas.ipa = dataclasses.replace(
-        m.ipa, use_pallas_kernel=True, use_pallas_embedder=True
+        m.ipa,
+        use_pallas_kernel=True,
+        use_pallas_embedder=True,
+        use_pallas_ipa=True,
     )
     model_pallas = ScoreNetwork(m_pallas, diffuser, inpainting=True)
     with pltpu.force_tpu_interpret_mode():
@@ -147,7 +150,9 @@ def test_full_model_pallas_matches_xla():
     for key in ("psi", "rot_score", "trans_score", "atom37"):
         a, b = np.asarray(out_xla[key]), np.asarray(out_pallas[key])
         scale = max(1.0, np.abs(a).max())
-        assert np.abs(a - b).max() / scale < 2e-5, key
+        # 2e-4: the fused IPA path reassociates the point logits (augmented
+        # matmul) and the softmax normalization order.
+        assert np.abs(a - b).max() / scale < 2e-4, key
 
 
 def test_trainable_kernel_gradients_match_xla():
@@ -367,3 +372,59 @@ def test_fused_edge_embedder_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
         )
+
+
+def test_fused_ipa_attention_matches_xla():
+    """Fused IPA attention kernel (one pass over z, augmented point-logit
+    matmul) vs the XLA module path, through InvariantPointAttention with a
+    ragged mask and non-trivial frames."""
+    from framedipt_tpu.geometry.rigid import Rigid
+    from framedipt_tpu.model.ipa import InvariantPointAttention
+    from framedipt_tpu.tools.config import Config
+
+    cfg = Config()
+    ipa_conf = cfg.model.ipa
+    import dataclasses
+
+    ipa_conf = dataclasses.replace(
+        ipa_conf,
+        c_s=32, c_z=16, c_hidden=16, no_heads=2,
+        no_qk_points=4, no_v_points=4,
+    )
+    rng = np.random.default_rng(21)
+    B, N = 1, 20
+    s = jnp.asarray(rng.normal(size=(B, N, 32)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(B, N, N, 16)).astype(np.float32))
+    mask_np = np.ones((B, N), np.float32)
+    mask_np[:, -4:] = 0.0
+    mask = jnp.asarray(mask_np)
+    qs = rng.normal(size=(B, N, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    trans = rng.normal(size=(B, N, 3)).astype(np.float32) * 3
+    rigids = Rigid.from_tensor7(
+        jnp.asarray(np.concatenate([qs, trans], -1))
+    )
+
+    ipa_xla = InvariantPointAttention(ipa_conf, use_pallas=False)
+    params = ipa_xla.init(jax.random.PRNGKey(0), s, z, rigids, mask)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(22).normal(size=x.shape).astype(
+            np.float32
+        ),
+        params,
+    )
+    out_xla = ipa_xla.apply(params, s, z, rigids, mask)
+
+    ipa_pal = InvariantPointAttention(ipa_conf, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_pal = ipa_pal.apply(params, s, z, rigids, mask)
+    # Masked rows: the XLA path leaves uniform-softmax garbage, the kernel
+    # zeroes its attention outputs; both are node-masked downstream, so
+    # compare valid rows only and require masked rows finite.
+    assert np.isfinite(np.asarray(out_pal)).all()
+    m3 = mask_np[..., None]
+    np.testing.assert_allclose(
+        np.asarray(out_xla) * m3, np.asarray(out_pal) * m3,
+        atol=2e-4, rtol=1e-3,
+    )
