@@ -21,6 +21,8 @@ import jax
 from framedipt_tpu.data.pipeline import ProcessOptions, process_serially
 from framedipt_tpu.tools.config import Config, FilteringConfig, SO3Config
 
+pytestmark = pytest.mark.slow
+
 CIF_DIR = pathlib.Path(__file__).resolve().parents[1] / "data" / "cifs"
 REPO = pathlib.Path(__file__).resolve().parents[2]
 

@@ -27,6 +27,8 @@ from framedipt_tpu.tools.config import (
     SO3Config,
 )
 
+pytestmark = pytest.mark.slow
+
 NUM_BLOCKS = 4
 SEQ_TFMR_LAYERS = 2
 N_RES = 256

@@ -48,11 +48,14 @@ def _find_weights() -> pathlib.Path | None:
 
 WEIGHTS = _find_weights()
 
-pytestmark = pytest.mark.skipif(
-    WEIGHTS is None,
-    reason="published inpainting.pth not available "
-    "(run scripts/fetch_weights.py in an online environment)",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        WEIGHTS is None,
+        reason="published inpainting.pth not available "
+        "(run scripts/fetch_weights.py in an online environment)",
+    ),
+]
 
 
 def _install_unpickle_stubs():

@@ -22,6 +22,8 @@ from framedipt_tpu.model.import_torch import convert_state_dict
 from framedipt_tpu.sampling import build_inference_fn
 from framedipt_tpu.tools.config import DiffuserConfig, ModelConfig, R3Config, SO3Config
 
+pytestmark = pytest.mark.slow
+
 N_RES = 12
 NUM_T = 4
 MIN_T = 0.01

@@ -21,6 +21,8 @@ from framedipt_tpu.model import ScoreNetwork
 from framedipt_tpu.sampling import build_inference_fn
 from framedipt_tpu.tools.config import Config, SO3Config
 
+pytestmark = pytest.mark.slow
+
 N_RES = 256
 NUM_T = 5
 

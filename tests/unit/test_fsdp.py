@@ -12,6 +12,7 @@ from framedipt_tpu.train.loop import build_train_step, init_train_state, make_op
 from tests.unit.test_train import make_batch, tiny_cfg
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_train_step():
     cfg = tiny_cfg()
     diffuser = SE3Diffuser(cfg.diffuser)

@@ -14,6 +14,7 @@ from framedipt_tpu.tools.config import DiffuserConfig
 from tests.unit.test_sampling import SMALL_MODEL, SMALL_SO3, N
 
 
+@pytest.mark.slow
 def test_sampler_batch_sharded_over_mesh():
     diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
     model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=True)

@@ -96,6 +96,7 @@ def test_loss_decreases(trainer):
     )
 
 
+@pytest.mark.slow
 def test_dp_mesh_sharded_step():
     cfg = tiny_cfg()
     diffuser = SE3Diffuser(cfg.diffuser)
