@@ -209,8 +209,12 @@ def fused_edge_embedder(
     if pad_j:
         h = jnp.pad(h, ((0, 0), (0, pad_j), (0, 0)))
         j_term = jnp.pad(j_term, ((0, 0), (0, pad_j), (0, 0)))
-    # Padded coordinates go far away (1e6) rather than 0 so padded pairs fall
-    # outside every distance bin, mirroring masked behavior pre-epilogue.
+    # Padded coordinates go far away (1e6) rather than 0 so padded pairs do
+    # not alias real short-range bins. NOTE: the last distogram bin's upper
+    # edge is 1e8, so padded pairs still land in that final bin — that is
+    # fine ONLY because every output element depends on its own (i, j) pair
+    # alone and the padded rows/cols are sliced off below; nothing may rely
+    # on padded pairs being bin-free.
     pos32 = pos.astype(F32)
     pos_r = jnp.pad(
         pos32, ((0, 0), (0, pad_i), (0, 0)), constant_values=1e6

@@ -289,22 +289,32 @@ def _xla_pair_mlp(
     """Reference XLA formulation of the fused kernel (incl. the LayerNorm +
     edge-mask epilogue). Used as the rematerialized backward of
     :func:`fused_pair_mlp_trainable` — identical math to the kernel, so the
-    VJP it induces is the VJP of the fused op."""
+    VJP it induces is the VJP of the fused op.
+
+    Matmuls accumulate in f32 and cast to the compute dtype, exactly as the
+    kernel does (Mosaic emits f32 accumulators; see the kernel body above) —
+    under bf16 inputs a bf16-accumulating einsum would NOT be numerically
+    identical to the kernel."""
     dtype = pair.dtype
     y0 = jnp.einsum(
-        "bijc,ch->bijh", pair, w0, preferred_element_type=dtype
-    )
+        "bijc,ch->bijh", pair, w0, preferred_element_type=F32
+    ).astype(dtype)
     y0 = jax.nn.relu(
         y0 + i_term[:, :, None, :] + j_term[:, None, :, :] + b0
     )
     y1 = jax.nn.relu(
-        jnp.einsum("bijh,hk->bijk", y0, w1, preferred_element_type=dtype) + b1
+        jnp.einsum(
+            "bijh,hk->bijk", y0, w1, preferred_element_type=F32
+        ).astype(dtype)
+        + b1
     )
-    out = jnp.einsum("bijh,ho->bijo", y1, wf, preferred_element_type=dtype)
+    out = jnp.einsum(
+        "bijh,ho->bijo", y1, wf, preferred_element_type=F32
+    ).astype(dtype)
     if wfe is not None:
         out = out + jnp.einsum(
-            "bije,eo->bijo", pair, wfe, preferred_element_type=dtype
-        )
+            "bije,eo->bijo", pair, wfe, preferred_element_type=F32
+        ).astype(dtype)
         out = out + fi[:, :, None, :] + fj[:, None, :, :]
     out = out + bf
     out32 = out.astype(F32)

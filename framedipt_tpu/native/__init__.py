@@ -13,6 +13,7 @@ gracefully to the fallback.
 from __future__ import annotations
 
 import importlib.util
+import os
 import pathlib
 import subprocess
 import sys
@@ -31,8 +32,13 @@ def _ext_path(name: str) -> pathlib.Path:
 
 def _build(name: str, source: pathlib.Path, out: pathlib.Path) -> bool:
     include = sysconfig.get_paths()["include"]
-    out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(".tmp.so")
+    try:
+        out.parent.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return False
+    # PID-unique temp so two concurrent processes never clobber each
+    # other's half-written artifact; the final rename stays atomic.
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         f"-I{include}", str(source), "-o", str(tmp),
@@ -49,7 +55,10 @@ def _build(name: str, source: pathlib.Path, out: pathlib.Path) -> bool:
             f"(falling back to Python):\n{proc.stderr[-2000:]}\n"
         )
         return False
-    tmp.replace(out)  # atomic within the directory
+    try:
+        tmp.replace(out)  # atomic within the directory
+    except OSError:
+        return False
     return True
 
 
@@ -59,7 +68,11 @@ def _load(name: str, source: str) -> object | None:
             return _CACHE[name]
         ext = _ext_path(name)
         src = _DIR / source
-        if not ext.exists() or ext.stat().st_mtime < src.stat().st_mtime:
+        try:
+            stale = not ext.exists() or ext.stat().st_mtime < src.stat().st_mtime
+        except OSError:  # source-less install: use the artifact if present
+            stale = not ext.exists()
+        if stale:
             if not _build(name, src, ext):
                 _CACHE[name] = None
                 return None

@@ -82,6 +82,7 @@ def test_fused_pair_mlp_embedder_variant():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_pallas_matches_xla():
     """Whole ScoreNetwork forward: pallas path (embedder edge MLP + edge
     transitions, interpret mode) vs the XLA formulation, ragged mask."""
@@ -248,8 +249,57 @@ def test_trainable_kernel_gradients_embedder_variant():
         )
 
 
-if __name__ == "__main__":
-    pytest.main([__file__, "-q"])
+def test_trainable_kernel_bf16_forward_matches_xla_twin():
+    """Under bf16 inputs the kernel and its rematerialized XLA twin must
+    agree: both accumulate matmuls in f32 and cast to bf16 (ADVICE r2 —
+    a bf16-accumulating twin would drift from the kernel). Tolerance covers
+    bf16 rounding-order differences in the elementwise adds only."""
+    from framedipt_tpu.model.pallas.pair_mlp import (
+        _xla_pair_mlp,
+        fused_pair_mlp_trainable,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, c_in, h = 1, 16, 8, 32
+    bf16 = jnp.bfloat16
+    pair = jnp.asarray(rng.normal(size=(B, N, N, c_in)), dtype=bf16)
+    i_term = jnp.asarray(rng.normal(size=(B, N, h)), dtype=bf16)
+    j_term = jnp.asarray(rng.normal(size=(B, N, h)), dtype=bf16)
+    mask_np = np.ones((B, N), np.float32)
+    mask_np[:, -2:] = 0.0
+    mask = jnp.asarray(mask_np)
+    weights = [
+        jnp.asarray(rng.normal(size=s) * 0.2, dtype=bf16)
+        for s in [(c_in, h), (h,), (h, h), (h,), (h, h), (h,), (h,), (h,)]
+    ]
+
+    with pltpu.force_tpu_interpret_mode():
+        out_fused = fused_pair_mlp_trainable(
+            8, 16, False, pair, i_term, j_term, mask, *weights,
+            None, None, None,
+        )
+    out_xla = _xla_pair_mlp(pair, i_term, j_term, mask, *weights,
+                            None, None, None)
+    assert out_fused.dtype == out_xla.dtype
+    np.testing.assert_allclose(
+        np.asarray(out_fused, np.float32),
+        np.asarray(out_xla, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+    # Gradients flow (backward is the XLA twin's VJP by construction).
+    cot = jnp.asarray(rng.normal(size=(B, N, N, h)), dtype=bf16)
+
+    def loss(pair, *ws):
+        out = fused_pair_mlp_trainable(
+            8, 16, False, pair, i_term, j_term, mask, *ws, None, None, None
+        )
+        return jnp.sum((out * cot).astype(jnp.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        grads = jax.grad(loss, argnums=(0, 1))(pair, *weights)
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
 def test_rel_cp_factors_exact():
