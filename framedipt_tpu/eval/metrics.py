@@ -175,8 +175,20 @@ def angle_error(pred: np.ndarray, gt: np.ndarray, signed: bool = False) -> np.nd
 # SASA / RSA (Shrake-Rupley)
 # --------------------------------------------------------------------------
 
-# Theoretical max ASA per residue (Tien et al. 2013), A^2.
+# Max ASA per residue (Tien et al. 2013 *empirical* column), A^2 — the
+# same table the reference normalizes RSA with (MAX_SASAs,
+# /root/reference/framedipt/protein/residue_constants.py:682-703, consumed
+# at evaluation/utils/metrics.py:663-666). Round 2 used the theoretical
+# column; switched for reference parity (round 3).
 MAX_ASA = {
+    "A": 121.0, "R": 265.0, "N": 187.0, "D": 187.0, "C": 148.0,
+    "Q": 214.0, "E": 214.0, "G": 97.0, "H": 216.0, "I": 195.0,
+    "L": 191.0, "K": 230.0, "M": 203.0, "F": 228.0, "P": 154.0,
+    "S": 143.0, "T": 163.0, "W": 264.0, "Y": 255.0, "V": 165.0,
+}
+# Theoretical column of the same paper — used by the Gly-X-Gly golden test
+# (an ideal extended tripeptide should approach these by construction).
+MAX_ASA_THEORETICAL = {
     "A": 129.0, "R": 274.0, "N": 195.0, "D": 193.0, "C": 167.0,
     "Q": 225.0, "E": 223.0, "G": 104.0, "H": 224.0, "I": 197.0,
     "L": 201.0, "K": 236.0, "M": 224.0, "F": 240.0, "P": 159.0,
