@@ -1,21 +1,35 @@
-"""Benchmark: reverse-diffusion sampler throughput at length 256.
+"""Benchmark: reverse-diffusion sampler + train-step throughput.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline metric (best steps/s at len-256), plus per-variant lines on stderr.
+headline metric (median steps/s at len-256), plus per-variant lines on
+stderr. Regression-grade (VERDICT r2 item 3):
+
+- every number is the MEDIAN of >= 8 timed calls, reported with spread
+  (max-min over the timed calls) so run-to-run noise is visible;
+- kernels-on vs kernels-off are measured in the SAME process with
+  A/B/A/B-interleaved timed calls at each length, so the documented ±5%
+  between-run variance cannot fake (or hide) a kernel delta;
+- a train-step variant (train_step_4x256_bf16, examples/s) makes
+  training-path regressions visible to the driver, not just sampling.
 
 Workload = the BASELINE north star (BASELINE.md): full-size FrameDiPT model
 (node 256 / edge 128, 4 IPA blocks), length-256 inpainting, self-conditioned
 reverse sampler. Each diffusion step is one score-network forward + the full
-SE(3) reverse update, all inside one lax.scan on device. vs_baseline is
-measured against the driver-defined target of 100 steps/s (500-step sample
-in <5 s on one v5e chip).
+SE(3) reverse update, all inside one lax.scan on device; timed wall-clock
+includes the single ~30 ms dispatch round-trip of the tunneled executor
+(same convention as BENCH_r01/r02 — comparable across rounds). vs_baseline
+is measured against the driver-defined target of 100 steps/s (500-step
+sample in <5 s on one v5e chip).
 """
 from __future__ import annotations
 
 import dataclasses
 import json
+import statistics
 import sys
 import time
+
+import numpy as np
 
 import jax
 
@@ -23,12 +37,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 TARGET_STEPS_PER_SEC = 100.0  # 500-step CDR3 sample in <5 s (BASELINE.md)
+TIMED_CALLS = 8
 
 
-def bench_variant(
-    num_res: int, num_t: int, compute_dtype: str, use_pallas: bool = False,
-    batch: int = 1,
-) -> float:
+def _build_sampler(num_res: int, num_t: int, compute_dtype: str,
+                   use_pallas: bool, batch: int):
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.sampling import build_inference_fn
@@ -51,49 +64,194 @@ def bench_variant(
         model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.1,
         inpainting=True, aux_traj=False,
     )
+    return run, params, feats
+
+
+def _warm(run, params, feats, base: int) -> None:
     # Salt the keys with wall-clock time: the executor can dedup repeat
     # calls with identical inputs, so a rerun with the same keys could
     # return cached trajectories at dispatch speed and fake the number.
-    base = time.time_ns() % (2**31 - 1)
-    out = run(params, feats, jax.random.PRNGKey(base))  # compile + warmup
-    jax.block_until_ready(out)
-    # One more post-compile warm call: the first timed execution after a
-    # fresh compile is occasionally 10% slow on the tunneled executor.
+    # Two warm calls: the first timed execution after a fresh compile is
+    # occasionally ~10% slow on the tunneled executor.
+    jax.block_until_ready(run(params, feats, jax.random.PRNGKey(base)))
     jax.block_until_ready(run(params, feats, jax.random.PRNGKey(base + 99)))
-    times = []
-    for i in range(4):
+
+
+def _one_timed(run, params, feats, key) -> float:
+    t0 = time.perf_counter()
+    out = run(params, feats, key)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def _stats(times: list[float], num_t: int) -> dict:
+    rates = sorted(num_t / t for t in times)
+    return {
+        "median": round(statistics.median(rates), 2),
+        "spread": round(rates[-1] - rates[0], 2),
+        "n": len(rates),
+    }
+
+
+def bench_pair(num_res: int, num_t: int, batch: int = 1) -> dict[str, dict]:
+    """bf16 XLA vs bf16+Pallas at one length, interleaved in one process."""
+    base = time.time_ns() % (2**31 - 1)
+    run_x, p_x, f_x = _build_sampler(num_res, num_t, "bfloat16", False, batch)
+    run_p, p_p, f_p = _build_sampler(num_res, num_t, "bfloat16", True, batch)
+    _warm(run_x, p_x, f_x, base)
+    _warm(run_p, p_p, f_p, base + 7)
+    tx, tp = [], []
+    for i in range(TIMED_CALLS):
+        tx.append(_one_timed(run_x, p_x, f_x, jax.random.PRNGKey(base + 100 + i)))
+        tp.append(_one_timed(run_p, p_p, f_p, jax.random.PRNGKey(base + 200 + i)))
+    sx, sp = _stats(tx, num_t), _stats(tp, num_t)
+    sp["vs_xla_pct"] = round(100.0 * (sp["median"] / sx["median"] - 1.0), 1)
+    return {"xla": sx, "pallas": sp}
+
+
+def bench_single(num_res: int, num_t: int, compute_dtype: str,
+                 use_pallas: bool, batch: int = 1) -> dict:
+    base = time.time_ns() % (2**31 - 1)
+    run, params, feats = _build_sampler(
+        num_res, num_t, compute_dtype, use_pallas, batch
+    )
+    _warm(run, params, feats, base)
+    times = [
+        _one_timed(run, params, feats, jax.random.PRNGKey(base + 1 + i))
+        for i in range(TIMED_CALLS)
+    ]
+    return _stats(times, num_t)
+
+
+def bench_train_step(batch: int = 4, num_res: int = 256,
+                     compute_dtype: str = "bfloat16") -> dict:
+    """Full fused train step (noising + fwd + DSM losses + Adam update) at
+    the published model size; reported as examples/s via the two-length
+    scan slope (cancels the ~30 ms dispatch exactly — single-call timings
+    are meaningless on the tunneled executor, see PERF.md)."""
+    from __graft_entry__ import _make_feats, _make_model
+    from framedipt_tpu.model import ScoreNetwork
+    from framedipt_tpu.train.loop import (
+        build_train_step,
+        init_train_state,
+        make_optimizer,
+    )
+
+    cfg, diffuser, model = _make_model()
+    if compute_dtype != "float32":
+        mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
+        model = ScoreNetwork(mc, diffuser, inpainting=True)
+    feats = _make_feats(batch, num_res)
+    batch_dict = {
+        "rigids_0": feats["rigids_t"],
+        "res_mask": feats["res_mask"],
+        "fixed_mask": feats["fixed_mask"],
+        "seq_idx": feats["seq_idx"],
+        "torsion_angles_sin_cos": feats["torsion_angles_sin_cos"],
+        "aatype": feats["aatype"],
+    }
+    optimizer = make_optimizer(cfg.experiment.learning_rate)
+    state = init_train_state(model, optimizer, batch_dict, jax.random.PRNGKey(0))
+    train_step = build_train_step(model, diffuser, cfg, optimizer)
+
+    # Force a LARGE param leaf to host after the scan: block_until_ready on
+    # a scalar jit output can return without executing on the tunneled
+    # backend (PERF.md measurement gotchas).
+    leaf_sizes = [
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(state.params)
+    ]
+    big_idx = max(range(len(leaf_sizes)), key=leaf_sizes.__getitem__)
+
+    def steps(n_steps: int):
+        @jax.jit
+        def run(state, key):
+            def body(carry, k):
+                st, _ = train_step(carry, batch_dict, k)
+                return st, ()
+
+            keys = jax.random.split(key, n_steps)
+            final, _ = jax.lax.scan(body, state, keys)
+            return jax.tree_util.tree_leaves(final.params)[big_idx]
+
+        return run
+
+    base = time.time_ns() % (2**31 - 1)
+    lo, hi = 8, 32
+    run_lo, run_hi = steps(lo), steps(hi)
+    # Warm 3x: JAX compiles twice (second when outputs commit shardings).
+    for i in range(3):
+        jax.block_until_ready(run_lo(state, jax.random.PRNGKey(base + i)))
+        jax.block_until_ready(run_hi(state, jax.random.PRNGKey(base + 10 + i)))
+
+    per_step = []
+    for i in range(TIMED_CALLS):
         t0 = time.perf_counter()
-        out = run(params, feats, jax.random.PRNGKey(base + 1 + i))
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return num_t / min(times)
+        jax.block_until_ready(run_lo(state, jax.random.PRNGKey(base + 100 + i)))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_hi(state, jax.random.PRNGKey(base + 200 + i)))
+        t_hi = time.perf_counter() - t0
+        per_step.append((t_hi - t_lo) / (hi - lo))
+    ex_rates = sorted(batch / t for t in per_step)
+    return {
+        "median": round(statistics.median(ex_rates), 2),
+        "spread": round(ex_rates[-1] - ex_rates[0], 2),
+        "n": len(ex_rates),
+        "step_ms": round(1e3 * statistics.median(per_step), 2),
+    }
 
 
 def main() -> None:
-    results = {}
-    for name, (num_res, num_t, dtype, pallas, batch) in {
-        "len256_f32": (256, 100, "float32", False, 1),
-        "len256_bf16": (256, 100, "bfloat16", False, 1),
-        "len256_bf16_pallas": (256, 100, "bfloat16", True, 1),
-        "len512_bf16": (512, 100, "bfloat16", False, 1),
-        "len512_bf16_pallas": (512, 100, "bfloat16", True, 1),
-        # Production-serving shapes: the 5-sample TCR protocol as one
-        # batched scan, and the long-complex bucket. Values are per-batch
-        # sampler steps/s (multiply by batch for sample-steps/s).
-        "len256_bf16_pallas_batch5": (256, 100, "bfloat16", True, 5),
-        "len1024_bf16_pallas": (1024, 50, "bfloat16", True, 1),
+    results: dict[str, object] = {}
+
+    # f32 reference point (single variant, no pair).
+    try:
+        results["len256_f32"] = bench_single(256, 100, "float32", False)
+        print(f"len256_f32: {results['len256_f32']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"len256_f32 failed: {e}", file=sys.stderr)
+
+    # Interleaved kernel A/B at each production length.
+    for name, (num_res, num_t) in {
+        "len256": (256, 100),
+        "len512": (512, 100),
+        "len1024": (1024, 50),
     }.items():
         try:
-            sps = bench_variant(num_res, num_t, dtype, pallas, batch)
-            results[name] = round(sps, 2)
-            print(f"{name}: {sps:.1f} steps/s", file=sys.stderr)
+            pair = bench_pair(num_res, num_t)
+            results[f"{name}_bf16"] = pair["xla"]
+            results[f"{name}_bf16_pallas"] = pair["pallas"]
+            print(f"{name} A/B: {pair}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"{name} failed: {e}", file=sys.stderr)
+            print(f"{name} A/B failed: {e}", file=sys.stderr)
+
+    # The 5-sample TCR protocol as one batched scan (per-batch steps/s;
+    # multiply by 5 for sample-steps/s).
+    try:
+        results["len256_bf16_pallas_batch5"] = bench_single(
+            256, 100, "bfloat16", True, batch=5
+        )
+        print(
+            f"len256_bf16_pallas_batch5: {results['len256_bf16_pallas_batch5']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"len256_bf16_pallas_batch5 failed: {e}", file=sys.stderr)
+
+    # Training path (examples/s, dispatch-free slope).
+    try:
+        results["train_step_4x256_bf16"] = bench_train_step()
+        print(
+            f"train_step_4x256_bf16: {results['train_step_4x256_bf16']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"train_step_4x256_bf16 failed: {e}", file=sys.stderr)
 
     best256 = max(
-        v
+        v["median"]
         for k, v in results.items()
-        if k.startswith("len256") and "batch" not in k
+        if k.startswith("len256") and "batch" not in k and isinstance(v, dict)
     )
     print(
         json.dumps(

@@ -2,11 +2,12 @@
 
 Role of evaluation/eval_denovo.py: designability (self-consistency scRMSD /
 scTM read from per-sample ``sc_results.csv``, best/median aggregation
-:38-97), diversity (pairwise-TM hierarchical clustering — the in-tree
-scipy alternative to the reference's MaxCluster subprocess :480; the
-MaxCluster adapter remains available in tools/external.py), novelty
+:38-97), diversity (pairwise-TM hierarchical clustering, the scipy path of
+:480-541, or the reference's two-stage MaxCluster subprocess flow with
+stdout parsing into cluster counts/sizes/assignments, :259-479), novelty
 (max TM vs a reference DB via foldseek when installed :543), and
-helix/strand composition of the generated set (:653).
+helix/strand composition of the generated set (:653) with the composition
+plot.
 
 Usage:
     python -m framedipt_tpu.eval.denovo_eval --prediction_dir=...
@@ -15,15 +16,22 @@ from __future__ import annotations
 
 import argparse
 import pathlib
+import re
 
 import numpy as np
 import pandas as pd
 
 from framedipt_tpu.analysis import dssp as dssp_lib
+from framedipt_tpu.eval import plots
 from framedipt_tpu.analysis import metrics as analysis_metrics
 from framedipt_tpu.data import constants as rc
 from framedipt_tpu.data.protein import from_pdb_string
-from framedipt_tpu.tools.external import ToolUnavailable, run_foldseek_easy_search
+from framedipt_tpu.tools.external import (
+    ToolUnavailable,
+    run_foldseek_easy_search,
+    run_maxcluster_align,
+    run_maxcluster_cluster,
+)
 from framedipt_tpu.tools.log import get_logger
 
 logger = get_logger()
@@ -90,6 +98,81 @@ def diversity_clusters(
     return {"num_clusters": num, "diversity": num / len(sample_paths)}
 
 
+_SIZE_RE = re.compile(r"^SIZE : (\d+)")
+_CLUSTERS_RE = re.compile(r"^.* (\d+) Clusters @ Threshold")
+_ASSIGN_RE = re.compile(r"^INFO\s*:\s*(\d+)\s*:\s*(\d+)\s+(\S+)\s*$")
+_CSIZE_RE = re.compile(r"^INFO\s*:\s*(\d+)\s*:\s*(\d+)\s+(\d+)\s")
+
+
+def parse_maxcluster_size(align_text: str) -> int:
+    """``SIZE : N`` from the -Rl align-score file
+    (ref evaluation/eval_denovo.py:306-316)."""
+    for line in align_text.splitlines():
+        m = _SIZE_RE.match(line)
+        if m:
+            return int(m.group(1))
+    raise ValueError("no 'SIZE : N' line in MaxCluster align output")
+
+
+def parse_maxcluster_clusters(cluster_text: str) -> dict:
+    """Parse ``maxcluster -C 1`` output: total cluster count
+    (ref :341-352 parses only this), plus the per-item assignment table
+    (``INFO : <item> : <cluster>  <path>``) and the per-cluster size table
+    (``INFO : <cluster> : <centroid> <size> ...``) that the reference
+    leaves unconsumed."""
+    num_clusters = None
+    assignments: dict[str, int] = {}
+    sizes: dict[int, int] = {}
+    in_sizes = False
+    for line in cluster_text.splitlines():
+        m = _CLUSTERS_RE.match(line)
+        if m and num_clusters is None:
+            num_clusters = int(m.group(1))
+            continue
+        if "Centroid" in line and "Size" in line:
+            in_sizes = True
+            continue
+        if in_sizes:
+            m = _CSIZE_RE.match(line)
+            if m:
+                sizes[int(m.group(1))] = int(m.group(3))
+                continue
+        m = _ASSIGN_RE.match(line)
+        if m:
+            assignments[m.group(3)] = int(m.group(2))
+    if num_clusters is None:
+        raise ValueError("no 'N Clusters @ Threshold' line in MaxCluster output")
+    return {
+        "num_clusters": num_clusters,
+        "assignments": assignments,
+        "cluster_sizes": sizes,
+    }
+
+
+def maxcluster_diversity(
+    sample_paths: list[pathlib.Path],
+    outdir: pathlib.Path,
+    tm_threshold: float = 0.5,
+) -> dict:
+    """The reference's MaxCluster diversity flow (eval_denovo.py:259-354):
+    write the PDB list, run the align stage (cached by file existence, as
+    the reference does), run the clustering stage, parse. Returns
+    num_clusters / diversity / assignments / cluster_sizes."""
+    outdir.mkdir(parents=True, exist_ok=True)
+    list_file = outdir / "maxcluster_pdb_list.txt"
+    list_file.write_text("".join(f"{p}\n" for p in sample_paths))
+    align_file = outdir / "maxcluster_align_scores.txt"
+    if not align_file.exists():
+        run_maxcluster_align(list_file, align_file)
+    size = parse_maxcluster_size(align_file.read_text())
+    stdout = run_maxcluster_cluster(align_file, threshold=tm_threshold)
+    (outdir / "maxcluster_clusters.txt").write_text(stdout)
+    parsed = parse_maxcluster_clusters(stdout)
+    parsed["diversity"] = parsed["num_clusters"] / size
+    parsed["size"] = size
+    return parsed
+
+
 def novelty(
     sample_dir: pathlib.Path, foldseek_db: pathlib.Path | None, tmp: pathlib.Path
 ) -> pd.DataFrame | None:
@@ -111,7 +194,7 @@ def ss_composition(sample_paths: list[pathlib.Path]) -> pd.DataFrame:
     for p in sample_paths:
         prot = from_pdb_string(p.read_text())
         m = dssp_lib.ss_metrics_from_atom37(prot.atom_positions, prot.atom_mask)
-        rows.append({"path": str(p), **m})
+        rows.append({"path": str(p), "length": len(prot.aatype), **m})
     return pd.DataFrame(rows)
 
 
@@ -119,7 +202,12 @@ def run(
     prediction_dir: pathlib.Path,
     output_dir: pathlib.Path | None = None,
     foldseek_db: pathlib.Path | None = None,
+    diversity_backend: str = "auto",
 ) -> dict:
+    """``diversity_backend``: "maxcluster" (the reference's subprocess
+    flow), "scipy" (in-tree hierarchical clustering, the reference's
+    use_hierarchy=True path), or "auto" (maxcluster when the binary is on
+    PATH, else scipy)."""
     prediction_dir = pathlib.Path(prediction_dir)
     output_dir = pathlib.Path(output_dir or prediction_dir / "evaluation")
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -132,8 +220,36 @@ def run(
     comp.to_csv(output_dir / "ss_composition.csv", index=False)
     results["helix_percent_mean"] = float(comp["helix_percent"].mean())
     results["strand_percent_mean"] = float(comp["strand_percent"].mean())
+    if len(comp):
+        plots.length_colored_scatter(
+            comp["strand_percent"].to_numpy() * 100.0,
+            comp["helix_percent"].to_numpy() * 100.0,
+            comp["length"].to_numpy(),
+            "Sheet percentage",
+            "Helix percentage",
+            output_dir / "helix_sheet.png",
+        )
 
-    div = diversity_clusters(samples)
+    div: dict = {}
+    if diversity_backend in ("auto", "maxcluster") and len(samples) >= 2:
+        try:
+            mc = maxcluster_diversity(samples, output_dir / "maxcluster")
+            div = {
+                "num_clusters": mc["num_clusters"],
+                "diversity": mc["diversity"],
+            }
+            pd.DataFrame(
+                [
+                    {"path": p, "cluster": c}
+                    for p, c in mc["assignments"].items()
+                ]
+            ).to_csv(output_dir / "cluster_assignments.csv", index=False)
+        except Exception as e:  # noqa: BLE001
+            if diversity_backend == "maxcluster":
+                raise
+            logger.info(f"maxcluster unavailable ({e}); scipy diversity")
+    if not div:
+        div = diversity_clusters(samples)
     results.update(div)
 
     desig = designability(prediction_dir)
@@ -157,11 +273,15 @@ def main() -> None:
     ap.add_argument("--prediction_dir", required=True)
     ap.add_argument("--output_dir", default=None)
     ap.add_argument("--foldseek_db", default=None)
+    ap.add_argument(
+        "--diversity", default="auto", choices=["auto", "maxcluster", "scipy"]
+    )
     args = ap.parse_args()
     run(
         pathlib.Path(args.prediction_dir),
         pathlib.Path(args.output_dir) if args.output_dir else None,
         pathlib.Path(args.foldseek_db) if args.foldseek_db else None,
+        diversity_backend=args.diversity,
     )
 
 

@@ -353,6 +353,41 @@ def flatten(obj, depth: int = -1, delim: str = "_", parent: str = ""):
     return dict(items)
 
 
+def average_metrics_for_middle_residues(
+    df_metrics, metric: str
+) -> dict[str, list[np.ndarray]]:
+    """Regroup a flattened per-residue metric (``{metric}_{chain}_{idx}``
+    columns) into the XTICKS layout: left positions 1-4, one
+    nanmean-averaged middle bucket, right positions -4..-1 — per chain
+    (evaluation/utils/metrics.py:728-790). Feeds the grouped alpha/beta
+    box/swarm plots."""
+    columns = df_metrics.columns
+    out: dict[str, list[np.ndarray]] = {}
+    for tcr_chain in ("alpha", "beta"):
+        left = [f"{metric}_{tcr_chain}_{i}" for i in (1, 2, 3, 4)]
+        right = [f"{metric}_{tcr_chain}_{i}" for i in (-4, -3, -2, -1)]
+        middle = [
+            c
+            for c in columns
+            if c.startswith(f"{metric}_{tcr_chain}_") and c not in left + right
+        ]
+        groups = [
+            df_metrics[c].dropna().to_numpy() if c in columns else np.array([])
+            for c in left
+        ]
+        if middle:
+            mid = np.nanmean(df_metrics[middle].to_numpy(dtype=float), axis=1)
+            groups.append(mid[~np.isnan(mid)])
+        else:
+            groups.append(np.array([]))
+        groups += [
+            df_metrics[c].dropna().to_numpy() if c in columns else np.array([])
+            for c in right
+        ]
+        out[tcr_chain] = groups
+    return out
+
+
 # Memoize SASA per Protein instance: the 8 ASA/RSA registry metrics all
 # derive from the same two Shrake-Rupley computations per (gt, sample) pair.
 _SASA_CACHE: dict[int, tuple[Protein, np.ndarray]] = {}

@@ -102,3 +102,189 @@ def middle_average(values: np.ndarray, keep_each_side: int = 4) -> np.ndarray:
         return np.asarray(values)
     middle = np.mean(values[k:-k])
     return np.concatenate([values[:k], [middle], values[-k:]])
+
+
+# xticks of the per-residue grouped plots: left 4, averaged middle ("5"),
+# right 4 (evaluation/utils/constants.py:30).
+XTICKS = [str(idx) for idx in (1, 2, 3, 4, 5, -4, -3, -2, -1)]
+
+
+def _median_mad(metric_groups: list[np.ndarray]) -> tuple[float, float]:
+    flat = np.concatenate([np.asarray(g, dtype=float) for g in metric_groups])
+    flat = flat[np.isfinite(flat)]
+    if not len(flat):
+        return float("nan"), float("nan")
+    med = float(np.median(flat))
+    mad = float(np.median(np.abs(flat - med)))
+    return med, mad
+
+
+def grouped_alpha_beta_plot(
+    metrics_alpha: list[np.ndarray],
+    metrics_beta: list[np.ndarray],
+    eval_output_path: pathlib.Path,
+    legend: str,
+    xticks: list[str],
+    swarm: bool = False,
+    superpose_box: bool = False,
+) -> pathlib.Path | None:
+    """The reference's grouped alpha/beta layouts: side-by-side boxplots
+    (evaluation/utils/plot.py:87-155 ``boxplot_metrics_alpha_beta``) or a
+    dodged seaborn swarm with optional superposed boxes (``:205-280
+    swarmplot_metrics_alpha_beta``). Title carries per-chain
+    median ± median-abs-deviation; file naming matches the reference
+    (``{legend}_median_boxplot.png`` / ``_median_swarmplot.png``)."""
+    xs_len = max(len(metrics_alpha), len(metrics_beta))
+    if len(xticks) != xs_len:
+        raise ValueError(
+            f"xticks length must match chain metric count, "
+            f"got {len(xticks)} != {xs_len}."
+        )
+    try:
+        plt, sns = _mpl()
+    except ImportError:  # pragma: no cover
+        logger.warning("matplotlib unavailable; skipping plot")
+        return None
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    xs = np.arange(xs_len) + 1
+    if swarm:
+        rows = []
+        for xtick, vals in zip(xticks, metrics_alpha):
+            rows += [
+                {"Residue index": xtick, "Chain": "alpha", legend: float(v)}
+                for v in vals
+            ]
+        for xtick, vals in zip(xticks, metrics_beta):
+            rows += [
+                {"Residue index": xtick, "Chain": "beta", legend: float(v)}
+                for v in vals
+            ]
+        sns.swarmplot(
+            data=pd.DataFrame(rows), x="Residue index", y=legend,
+            hue="Chain", dodge=True, ax=ax, size=3,
+        )
+        if superpose_box:
+            ax.boxplot(
+                metrics_alpha, showfliers=False, widths=0.2,
+                positions=np.arange(len(metrics_alpha)) - 0.2,
+            )
+            ax.boxplot(
+                metrics_beta, showfliers=False, widths=0.2,
+                positions=np.arange(len(metrics_beta)) + 0.2,
+            )
+        ax.set_xticks(np.arange(xs_len))
+    else:
+        box_a = ax.boxplot(
+            metrics_alpha, showfliers=False, patch_artist=True, widths=0.3,
+            positions=xs[: len(metrics_alpha)] - 0.2,
+        )
+        box_b = ax.boxplot(
+            metrics_beta, showfliers=False, patch_artist=True, widths=0.3,
+            positions=xs[: len(metrics_beta)] + 0.2,
+        )
+        for patch in box_a["boxes"]:
+            patch.set_facecolor("royalblue")
+        for patch in box_b["boxes"]:
+            patch.set_facecolor("orange")
+        ax.legend([box_a["boxes"][0], box_b["boxes"][0]], ["alpha", "beta"])
+        ax.set_xticks(xs)
+    ax.set_xticklabels(xticks)
+    med_a, mad_a = _median_mad(metrics_alpha)
+    med_b, mad_b = _median_mad(metrics_beta)
+    ax.set_title(
+        f"{legend}\n"
+        f"alpha Median {med_a:.2f}$\\pm${mad_a:.2f}\n"
+        f"beta Median {med_b:.2f}$\\pm${mad_b:.2f}",
+        fontsize=14,
+    )
+    fig.tight_layout()
+    kind = "swarmplot" if swarm else "boxplot"
+    out = (
+        pathlib.Path(eval_output_path)
+        / f"{legend.lower().replace(' ', '_')}_median_{kind}.png"
+    )
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def two_models_scatter_plot(
+    df_metrics: pd.DataFrame,
+    df_esmfold_metrics: pd.DataFrame,
+    eval_output_path: pathlib.Path,
+    choice: str = "median",
+) -> pathlib.Path | None:
+    """Per-chain backbone-RMSD scatter of this model vs ESMFold/AlphaFold
+    with the y=x diagonal (evaluation/utils/plot.py:281-339). ``choice``
+    picks the median or best sample per pdb_name before scattering."""
+    if choice == "median":
+        sel = df_metrics.groupby("pdb_name")["bb_rmsd"].median()
+    elif choice == "best":
+        sel = df_metrics.groupby("pdb_name")["bb_rmsd"].min()
+    else:
+        raise ValueError(f"Choice need to be median or best, got {choice}.")
+    df_analyse = pd.merge(
+        df_metrics, sel, how="inner", on=["pdb_name", "bb_rmsd"]
+    )
+    try:
+        plt, _ = _mpl()
+    except ImportError:  # pragma: no cover
+        return None
+    xs = np.linspace(0, 10, 100)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(xs, xs, color="black", linestyle="dashed")
+    ax.scatter(
+        df_esmfold_metrics["bb_rmsd_alpha"].to_numpy(),
+        df_analyse["bb_rmsd_alpha"].to_numpy(),
+        label="alpha",
+    )
+    ax.scatter(
+        df_esmfold_metrics["bb_rmsd_beta"].to_numpy(),
+        df_analyse["bb_rmsd_beta"].to_numpy(),
+        label="beta",
+    )
+    ax.set_xlim([0, 10])
+    ax.set_xlabel("ESMFold backbone RMSD", fontsize=14)
+    ax.set_ylabel("FrameDiPT backbone RMSD", fontsize=14)
+    ax.set_title("Backbone RMSD", fontsize=16)
+    ax.legend(fontsize=12)
+    fig.tight_layout()
+    out = pathlib.Path(eval_output_path) / "bb_rmsd_framedipt_esmfold_scatter.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def length_colored_scatter(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    lengths: np.ndarray,
+    xlabel: str,
+    ylabel: str,
+    out_path: pathlib.Path,
+) -> pathlib.Path | None:
+    """Scatter colored blue→red by sequence length with a colorbar — the
+    layout shared by the reference's novelty (scRMSD vs pdbTM,
+    eval_denovo.py:630-650) and helix/sheet composition (:653-716) plots."""
+    try:
+        plt, _ = _mpl()
+    except ImportError:  # pragma: no cover
+        return None
+    import matplotlib.colors as mcolor
+
+    lengths = np.asarray(lengths, dtype=float)
+    lo, hi = float(np.min(lengths)), float(np.max(lengths))
+    cmap = mcolor.LinearSegmentedColormap.from_list("redblue", ["b", "r"])
+    cnorm = mcolor.Normalize(vmin=lo, vmax=hi)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    denom = (hi - lo) or 1.0
+    colors = np.array([cmap((l - lo) / denom) for l in lengths])
+    ax.scatter(np.asarray(xs, float), np.asarray(ys, float), c=colors, alpha=0.8)
+    fig.colorbar(plt.cm.ScalarMappable(norm=cnorm, cmap=cmap), ax=ax)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return pathlib.Path(out_path)

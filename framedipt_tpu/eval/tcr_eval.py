@@ -309,6 +309,50 @@ def _plots(df: pd.DataFrame, output_dir: pathlib.Path) -> None:
         fig.tight_layout()
         fig.savefig(output_dir / f"{metric}_boxplot.png", dpi=120)
         plt.close(fig)
+    _grouped_alpha_beta_plots(df, output_dir)
+
+
+# Reference legends for the per-residue grouped plots
+# (evaluation/utils/constants.py EVAL_METRICS subset we plot by default).
+_GROUPED_METRIC_LEGENDS = {
+    "bb_rmsd": "Backbone RMSD per residue",
+    "signed_angle_error_phi": "Signed angle error phi",
+    "signed_angle_error_psi": "Signed angle error psi",
+    "signed_angle_error_omega": "Signed angle error omega",
+}
+
+
+def _grouped_alpha_beta_plots(
+    df: pd.DataFrame, output_dir: pathlib.Path, swarm: bool = False
+) -> None:
+    """The reference's evaluation_plot (evaluate_tcr.py:574-655): median
+    sample per pdb_name, one grouped alpha/beta Backbone RMSD plot, then
+    per-residue grouped plots over the XTICKS positions."""
+    from framedipt_tpu.eval.plots import XTICKS, grouped_alpha_beta_plot
+
+    if not {"bb_rmsd", "bb_rmsd_alpha", "bb_rmsd_beta"} <= set(df.columns):
+        return
+    median_per_pdb = df.groupby("pdb_name")["bb_rmsd"].median()
+    df_analyse = pd.merge(df, median_per_pdb, how="inner", on=["pdb_name", "bb_rmsd"])
+    if not len(df_analyse):
+        df_analyse = df
+    grouped_alpha_beta_plot(
+        [df_analyse["bb_rmsd_alpha"].dropna().to_numpy()],
+        [df_analyse["bb_rmsd_beta"].dropna().to_numpy()],
+        output_dir,
+        "Backbone RMSD",
+        ["Backbone RMSD"],
+        swarm=swarm,
+        superpose_box=swarm,
+    )
+    for metric, legend in _GROUPED_METRIC_LEGENDS.items():
+        groups = eval_metrics.average_metrics_for_middle_residues(df_analyse, metric)
+        if not any(len(g) for g in groups["alpha"] + groups["beta"]):
+            continue
+        grouped_alpha_beta_plot(
+            groups["alpha"], groups["beta"], output_dir, legend, XTICKS,
+            swarm=swarm,
+        )
 
 
 def main() -> None:

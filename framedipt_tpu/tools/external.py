@@ -163,11 +163,34 @@ def run_foldseek_easy_search(
 # --------------------------------------------------------------------------
 
 
-def run_maxcluster(pdb_list_file: pathlib.Path, threshold: float = 0.5) -> str:
+def run_maxcluster_align(
+    pdb_list_file: pathlib.Path, align_score_file: pathlib.Path
+) -> pathlib.Path:
+    """Stage 1 of the reference's MaxCluster diversity flow: all-vs-all
+    alignment scores written to ``align_score_file``
+    (ref evaluation/eval_denovo.py:288-304: ``maxcluster -l LIST -in
+    -Rl OUT``)."""
+    binary = _require_binary("maxcluster")
+    subprocess.run(
+        [binary, "-l", str(pdb_list_file), "-in",
+         "-Rl", str(align_score_file)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return align_score_file
+
+
+def run_maxcluster_cluster(
+    align_score_file: pathlib.Path, threshold: float = 0.5
+) -> str:
+    """Stage 2: cluster from the recorded align scores; returns stdout
+    (ref evaluation/eval_denovo.py:319-339: ``maxcluster -C 1 -M ALIGN
+    -T th -Tm th``)."""
     binary = _require_binary("maxcluster")
     out = subprocess.run(
-        [binary, "-l", str(pdb_list_file), "-C", "2", "-in",
-         "-Rl", str(threshold)],
+        [binary, "-C", "1", "-M", str(align_score_file),
+         "-T", str(threshold), "-Tm", str(threshold)],
         check=True,
         capture_output=True,
         text=True,

@@ -127,12 +127,19 @@ def test_foldseek_and_maxcluster_contracts(tmp_path, monkeypatch):
     )
     _write_exe(
         bin_dir / "maxcluster",
+        # Two-stage contract (ref eval_denovo.py:288-339): align writes the
+        # -Rl score file; cluster reads it via -M and prints to stdout.
         "import sys\n"
         "a = sys.argv\n"
-        "assert a[a.index('-C') + 1] == '2', a\n"
-        "assert a[a.index('-Rl') + 1] == '0.5', a\n"
-        "assert '-in' in a, a\n"
-        "print('INFO: 2 clusters')\n",
+        "if '-l' in a:\n"
+        "    assert '-in' in a and '-Rl' in a, a\n"
+        "    open(a[a.index('-Rl') + 1], 'w').write('SIZE : 2\\n')\n"
+        "else:\n"
+        "    assert a[a.index('-C') + 1] == '1', a\n"
+        "    assert a[a.index('-T') + 1] == '0.5', a\n"
+        "    assert a[a.index('-Tm') + 1] == '0.5', a\n"
+        "    open(a[a.index('-M') + 1])\n"
+        "    print('INFO  : 2 Clusters @ Threshold  0.500 (0.5)')\n",
     )
     monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
 
@@ -144,8 +151,10 @@ def test_foldseek_and_maxcluster_contracts(tmp_path, monkeypatch):
 
     listing = tmp_path / "pdbs.txt"
     listing.write_text("a.pdb\nb.pdb\n")
-    stdout = external.run_maxcluster(listing, threshold=0.5)
-    assert "2 clusters" in stdout
+    align = external.run_maxcluster_align(listing, tmp_path / "align.txt")
+    assert align.read_text().startswith("SIZE : 2")
+    stdout = external.run_maxcluster_cluster(align, threshold=0.5)
+    assert "2 Clusters" in stdout
 
 
 if __name__ == "__main__":
