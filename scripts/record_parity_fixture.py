@@ -1,0 +1,108 @@
+"""Record reference-torch activations at the published config as a fixture.
+
+Run where /root/reference + torch are importable. Builds the reference
+ScoreNetwork at the published full-size config (node 256 / edge 128 /
+4 IPA blocks), loads deterministically synthesized weights
+(tests/parity/fixture_lib.synth_value — a pure function of each param's
+name+shape), records a full-size forward plus a 5-step deterministic
+(noise_scale=0) reverse trajectory, and writes
+tests/parity/fixtures/recorded_full_parity.npz.
+
+tests/parity/test_recorded_parity.py then replays this offline with zero
+skips: it regenerates the identical state_dict from the committed
+(name, shape) manifest, imports it through model/import_torch.py, and
+compares activations.
+
+Reference anchors: forward framedipt/model/score_network.py, trajectory
+experiments/utils.py:inference_fn, checkpoint layout
+experiments/inference.py:107-159.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import types
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from tests.parity.conftest import _install_bio_stub  # noqa: E402
+from tests.parity import fixture_lib  # noqa: E402
+
+
+def main() -> None:
+    import torch
+
+    _install_bio_stub()
+    if "omegaconf" not in sys.modules:
+        m = types.ModuleType("omegaconf")
+        m.DictConfig = object
+        m.OmegaConf = object
+        sys.modules["omegaconf"] = m
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from experiments import utils as ref_exp_utils
+    from framedipt.diffusion.se3_diffuser import SE3Diffuser as RefSE3
+    from framedipt.model.score_network import ScoreNetwork as RefScoreNetwork
+
+    from framedipt_tpu.tools.config import Config
+
+    cfg = Config()  # published full-size defaults
+    ref_ns = fixture_lib.to_ref_namespaces(cfg)
+    ref_diffuser = RefSE3(ref_ns.diffuser)
+    ref_model = RefScoreNetwork(ref_ns.model, ref_diffuser, inpainting=True)
+
+    manifest = [
+        [name, list(tensor.shape)]
+        for name, tensor in ref_model.state_dict().items()
+    ]
+    sd = fixture_lib.synth_state_dict(manifest)
+    ref_model.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref_model.eval()
+
+    feats = fixture_lib.make_feats()
+    torch_feats = {k: torch.tensor(v) for k, v in feats.items()}
+    torch_feats["aatype"] = torch_feats["aatype"].long()
+    torch_feats["seq_idx"] = torch_feats["seq_idx"].long()
+
+    with torch.no_grad():
+        fwd = ref_model(torch_feats)
+    out = {
+        "out::psi": fwd["psi"].numpy(),
+        "out::atom37": fwd["atom37"].numpy(),
+        "out::rot_score": fwd["rot_score"].numpy(),
+        "out::trans_score": fwd["trans_score"].numpy(),
+    }
+
+    with torch.no_grad():
+        traj = ref_exp_utils.inference_fn(
+            model=ref_model,
+            diffuser=ref_diffuser,
+            data_init={k: v.clone() for k, v in torch_feats.items()},
+            num_t=fixture_lib.NUM_T,
+            min_t=0.01,
+            aux_traj=False,
+            noise_scale=0.0,
+            embed_self_conditioning=True,
+            inpainting=True,
+            input_aatype=False,
+        )
+    out["traj::ca_final"] = np.asarray(traj["prot_traj"])[0, :, :, 1]
+
+    fixture_lib.FIXTURE.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        fixture_lib.FIXTURE,
+        param_manifest=np.array(json.dumps(manifest)),
+        **{f"feat::{k}": v for k, v in feats.items()},
+        **out,
+    )
+    size_kb = fixture_lib.FIXTURE.stat().st_size / 1024
+    print(f"wrote {fixture_lib.FIXTURE} ({size_kb:.0f} KiB, "
+          f"{len(manifest)} params in manifest)")
+
+
+if __name__ == "__main__":
+    main()

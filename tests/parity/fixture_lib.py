@@ -1,0 +1,158 @@
+"""Shared helpers for the recorded-activation parity fixture.
+
+The published FrameDiPT weights are unreachable offline, so real-checkpoint
+parity (tests/parity/test_real_checkpoint_parity.py) skips in this
+environment. To keep published-config parity *non-skipped* offline, we
+record the reference torch model's activations once (scripts/
+record_parity_fixture.py, run where /root/reference + torch exist) with
+**deterministically synthesized** weights: values are a pure function of
+each parameter's (name, shape), so the test regenerates the identical
+torch-layout state_dict from the committed (name, shape) manifest without
+torch, the reference checkout, or a multi-megabyte weights file, pushes it
+through the checkpoint importer (model/import_torch.py), and compares
+against the committed activations.
+
+Reference checkpoint layout: /root/reference/experiments/inference.py:107-159
+(``module.``-prefixed DDP state_dict inside a {model, conf, ...} pickle).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import types
+import zlib
+
+import numpy as np
+
+N_RES = 128
+NUM_T = 5
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "recorded_full_parity.npz"
+
+
+# Layers the reference zero-inits (Linear init="final": bb_update.linear,
+# torsion_pred.linear_final — framedipt/model/layers.py). With those layers
+# at full scale the per-block rigid-update feedback makes the network
+# chaotic: f32 compilation-order rounding amplifies to O(1) Angstrom
+# output changes within a single forward (measured eager-vs-jit drift
+# 3.3 A at scale 1.0 vs 6e-4 A when damped 20x), which would make any
+# recorded-activation comparison meaningless. Damped-but-nonzero keeps the
+# dynamics contractive while still catching importer bugs in these tensors.
+_FINAL_LAYER_PAT = ("bb_update", "torsion_pred.linear_final")
+_W_SCALE = 0.3
+_FINAL_SCALE = 0.05
+
+
+def synth_value(name: str, shape: tuple[int, ...], seed: int = 0) -> np.ndarray:
+    """Deterministic, order-independent parameter values.
+
+    Seeded per-name (crc32), so adding/removing parameters or changing
+    iteration order cannot silently shift every other tensor. Heuristics
+    keep the synthesized network numerically sane through 4 IPA blocks:
+    1-D ``.weight`` tensors are LayerNorm scales (Linear weights are 2-D
+    in the reference) -> near 1; biases -> small noise (nonzero so the
+    importer's bias path is exercised); 2-D weights -> fan-in scaled and
+    damped (see _W_SCALE/_FINAL_SCALE above).
+    """
+    rng = np.random.default_rng((zlib.crc32(name.encode()) << 1) ^ seed)
+    shape = tuple(int(s) for s in shape)
+    damp = _FINAL_SCALE if any(p in name for p in _FINAL_LAYER_PAT) else 1.0
+    if name.endswith("head_weights"):
+        return (0.5 + 0.1 * rng.standard_normal(shape)).astype(np.float32)
+    if name.endswith(".weight") and len(shape) == 1:  # LayerNorm scale
+        return (1.0 + 0.05 * rng.standard_normal(shape)).astype(np.float32)
+    if name.endswith(".bias"):
+        return (damp * 0.02 * rng.standard_normal(shape)).astype(np.float32)
+    fan_in = shape[-1] if len(shape) >= 2 else 1
+    return (
+        damp * _W_SCALE * rng.standard_normal(shape) / np.sqrt(fan_in)
+    ).astype(np.float32)
+
+
+def synth_state_dict(manifest: list[tuple[str, list[int]]], seed: int = 0) -> dict:
+    return {name: synth_value(name, tuple(shape), seed) for name, shape in manifest}
+
+
+def load_manifest(npz) -> list[tuple[str, list[int]]]:
+    return json.loads(str(npz["param_manifest"]))
+
+
+def make_feats(seed: int = 3, n_res: int = N_RES) -> dict:
+    """Synthetic full-size inpainting batch; must stay bit-identical to
+    the recording run (all values derive from the numpy seed)."""
+    rng = np.random.default_rng(seed)
+    B, N = 1, n_res
+    trans = rng.normal(size=(B, N, 3)).astype(np.float32) * 6
+    qs = rng.normal(size=(B, N, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    qs = qs * np.sign(qs[..., :1])
+    fixed = np.ones((B, N), np.float32)
+    fixed[:, 50:62] = 0.0  # CDR3-length diffused window
+    return {
+        "res_mask": np.ones((B, N), np.float32),
+        "fixed_mask": fixed,
+        "seq_idx": np.tile(np.arange(N)[None], (B, 1)),
+        "t": np.ones((B,), np.float32),
+        "sc_ca_t": np.zeros((B, N, 3), np.float32),
+        "rigids_t": np.concatenate([qs, trans], axis=-1),
+        "torsion_angles_sin_cos": rng.normal(size=(B, N, 7, 2)).astype(np.float32),
+        "aatype": rng.integers(0, 20, size=(B, N)),
+    }
+
+
+def to_ref_namespaces(cfg):
+    """Our dataclass config -> the attribute namespaces the torch reference
+    modules expect (mirrors /root/reference/config/base.yaml keys)."""
+
+    def ns(**kw):
+        return types.SimpleNamespace(**kw)
+
+    d = cfg.diffuser
+    diffuser = ns(
+        diffuse_trans=d.diffuse_trans,
+        diffuse_rot=d.diffuse_rot,
+        so3=ns(
+            num_omega=d.so3.num_omega,
+            num_sigma=d.so3.num_sigma,
+            min_sigma=d.so3.min_sigma,
+            max_sigma=d.so3.max_sigma,
+            schedule=d.so3.schedule,
+            cache_dir="/tmp/ref_igso3_cache_real",
+            use_cached_score=False,
+            seed=0,
+        ),
+        r3=ns(
+            min_b=d.r3.min_b,
+            max_b=d.r3.max_b,
+            coordinate_scaling=d.r3.coordinate_scaling,
+            seed=0,
+        ),
+    )
+    m = cfg.model
+    model = ns(
+        input_aatype=m.input_aatype,
+        node_embed_size=m.node_embed_size,
+        edge_embed_size=m.edge_embed_size,
+        dropout=0.0,
+        embed=ns(
+            index_embed_size=m.embed.index_embed_size,
+            aatype_embed_size=m.embed.aatype_embed_size,
+            embed_self_conditioning=m.embed.embed_self_conditioning,
+            num_bins=m.embed.num_bins,
+            min_bin=m.embed.min_bin,
+            max_bin=m.embed.max_bin,
+        ),
+        ipa=ns(
+            c_s=m.ipa.c_s,
+            c_z=m.ipa.c_z,
+            c_hidden=m.ipa.c_hidden,
+            c_skip=m.ipa.c_skip,
+            no_heads=m.ipa.no_heads,
+            no_qk_points=m.ipa.no_qk_points,
+            no_v_points=m.ipa.no_v_points,
+            seq_tfmr_num_heads=m.ipa.seq_tfmr_num_heads,
+            seq_tfmr_num_layers=m.ipa.seq_tfmr_num_layers,
+            num_blocks=m.ipa.num_blocks,
+            coordinate_scaling=m.ipa.coordinate_scaling,
+        ),
+    )
+    return types.SimpleNamespace(diffuser=diffuser, model=model)

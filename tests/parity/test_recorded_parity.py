@@ -1,0 +1,98 @@
+"""Published-config parity vs *recorded* reference activations — no skips.
+
+Replays tests/parity/fixtures/recorded_full_parity.npz (written by
+scripts/record_parity_fixture.py against the torch reference): regenerates
+the deterministic torch-layout state_dict from the committed (name, shape)
+manifest, pushes it through the checkpoint importer
+(model/import_torch.convert_state_dict — the same path the published
+``inpainting.pth`` takes, ref experiments/inference.py:107-159), and
+compares a full-size forward plus a 5-step deterministic reverse
+trajectory against the recorded activations. Runs offline with neither
+torch, the reference checkout, nor the published weights present.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framedipt_tpu.diffusion import SE3Diffuser
+from framedipt_tpu.model import ScoreNetwork
+from framedipt_tpu.model.import_torch import convert_state_dict
+from framedipt_tpu.sampling import build_inference_fn
+from framedipt_tpu.tools.config import Config
+
+from tests.parity import fixture_lib
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def recorded():
+    if not fixture_lib.FIXTURE.exists():  # pragma: no cover
+        pytest.fail(
+            f"{fixture_lib.FIXTURE} missing — regenerate with "
+            "scripts/record_parity_fixture.py (this fixture is committed; "
+            "its absence is a repo error, not an environment limitation)"
+        )
+    npz = np.load(fixture_lib.FIXTURE)
+    cfg = Config()  # published full-size defaults
+    diffuser = SE3Diffuser(cfg.diffuser)
+    model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+    sd = fixture_lib.synth_state_dict(fixture_lib.load_manifest(npz))
+    params = convert_state_dict(
+        sd,
+        num_blocks=cfg.model.ipa.num_blocks,
+        seq_tfmr_layers=cfg.model.ipa.seq_tfmr_num_layers,
+    )
+    feats = {
+        k[len("feat::"):]: npz[k] for k in npz.files if k.startswith("feat::")
+    }
+    return cfg, diffuser, model, params, feats, npz
+
+
+def test_feats_regenerate_bitwise(recorded):
+    """The committed inputs are exactly make_feats(seed=3) — guards the
+    recording script and this test drifting apart."""
+    *_, feats, _ = recorded
+    regen = fixture_lib.make_feats()
+    assert set(regen) == set(feats)
+    for k, v in regen.items():
+        np.testing.assert_array_equal(v, feats[k], err_msg=k)
+
+
+def test_recorded_forward_parity(recorded):
+    _, _, model, params, feats, npz = recorded
+    out = model.apply(params, {k: jnp.asarray(v) for k, v in feats.items()})
+    for key, tol in (
+        ("psi", 1e-3),
+        ("atom37", 5e-3),
+        ("rot_score", 5e-3),
+        ("trans_score", 5e-3),
+    ):
+        ref_v = npz[f"out::{key}"]
+        got = np.asarray(out[key], np.float32)
+        scale = max(1.0, float(np.abs(ref_v).max()))
+        err = np.abs(got - ref_v).max() / scale
+        assert err < tol, f"{key}: rel err {err:.2e}"
+
+
+def test_recorded_trajectory_ca_rmsd(recorded):
+    _, diffuser, model, params, feats, npz = recorded
+    run = build_inference_fn(
+        model, diffuser, num_t=fixture_lib.NUM_T, min_t=0.01, noise_scale=0.0,
+        aux_traj=False, inpainting=True,
+    )
+    out = run(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        {k: jnp.asarray(v) for k, v in feats.items()},
+        jax.random.PRNGKey(0),
+    )
+    my_ca = np.asarray(out["prot_traj"])[0, :, :, 1]
+    ref_ca = npz["traj::ca_final"]
+    ca_rmsd = float(np.sqrt(np.mean(np.sum((ref_ca - my_ca) ** 2, axis=-1))))
+    assert ca_rmsd < 0.1, f"CA-RMSD {ca_rmsd:.3f} A vs recorded trajectory"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
