@@ -239,6 +239,7 @@ class EdgeTransition(nn.Module):
     use_pallas: bool = False
     tile_i: int = 32
     tile_j: int = 128
+    interpret: bool = False  # Pallas interpret mode (CPU-mesh tests)
 
     @nn.compact
     def __call__(
@@ -309,13 +310,46 @@ class EdgeTransition(nn.Module):
             )
             # LayerNorm + edge-mask epilogue are fused inside the kernel.
             # Differentiable: backward remats through the XLA formulation.
-            return fused_pair_mlp_trainable(
-                self.tile_i, self.tile_j, False,
+            kernel_args = (
                 edge_embed, i_term.astype(self.dtype),
-                j_term.astype(self.dtype), mask,
+                j_term.astype(self.dtype), mask, mask,
                 w0[:c_e], b0, w1, b1, wf, bf, ln_scale, ln_bias,
                 fi.astype(self.dtype), fj.astype(self.dtype), wf[:c_e],
             )
+            ctx = sp.active()
+            if ctx is None:
+                return fused_pair_mlp_trainable(
+                    self.tile_i, self.tile_j, self.interpret, *kernel_args
+                )
+            # Sequence parallelism: a Pallas custom call is a single-chip op
+            # under GSPMD, but the kernel operates on independent row tiles,
+            # so shard_map runs one per-shard call on each device's local
+            # [B, N/sp, N, C] row block (rows local, columns full). This
+            # keeps the fused-kernel win for exactly the long-complex
+            # lengths sp is meant for (VERDICT r2 item 5).
+            mesh, axis = ctx
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            row3 = P(sp.DP_AXIS, axis, None)
+            col3 = P(sp.DP_AXIS, None, None)
+            rep = P()
+            in_specs = (
+                P(sp.DP_AXIS, axis, None, None),  # edge: rows sharded
+                row3, col3,                        # i_term local, j_term full
+                P(sp.DP_AXIS, axis),               # row mask: local shard
+                P(sp.DP_AXIS, None),               # col mask: full
+                rep, rep, rep, rep, rep, rep, rep, rep,  # weights replicated
+                row3, col3, rep,                   # fi local, fj full, wfe
+            )
+            tile_i, tile_j, interp = self.tile_i, self.tile_j, self.interpret
+            return shard_map(
+                lambda *a: fused_pair_mlp_trainable(tile_i, tile_j, interp, *a),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(sp.DP_AXIS, axis, None, None),
+                check_vma=False,
+            )(*kernel_args)
         else:
             # trunk_0 decomposed: concat([e, bi, bj]) @ W0
             #   = e @ W0[:c_e] + bi @ W0[c_e:c_e+b] + bj @ W0[c_e+b:].
@@ -484,6 +518,7 @@ class IpaTrunk(nn.Module):
                     use_pallas=bool(ipa_conf.use_pallas_kernel),
                     tile_i=ipa_conf.pallas_tile_i,
                     tile_j=ipa_conf.pallas_tile_j,
+                    interpret=bool(getattr(ipa_conf, "pallas_interpret", False)),
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask.astype(dtype))
                 if not bool(ipa_conf.use_pallas_kernel):

@@ -121,10 +121,11 @@ def _pair_mlp_kernel(
     static_argnames=("tile_i", "tile_j", "interpret"),
 )
 def fused_pair_mlp(
-    pair: jnp.ndarray,  # [B, N, N, C_in]
-    i_term: jnp.ndarray,  # [B, N, H]    (row node term of the first layer)
-    j_term: jnp.ndarray,  # [B, N, H]    (col node term of the first layer)
-    node_mask: jnp.ndarray,  # [B, N]    (edge mask = outer product, fused)
+    pair: jnp.ndarray,  # [B, N_r, N_c, C_in]
+    i_term: jnp.ndarray,  # [B, N_r, H]  (row node term of the first layer)
+    j_term: jnp.ndarray,  # [B, N_c, H]  (col node term of the first layer)
+    row_mask: jnp.ndarray,  # [B, N_r]   (edge mask = outer product, fused)
+    col_mask: jnp.ndarray,  # [B, N_c]
     w0: jnp.ndarray,  # [C_in, H]
     b0: jnp.ndarray,  # [H]
     w1: jnp.ndarray,  # [H, H]
@@ -134,16 +135,24 @@ def fused_pair_mlp(
     ln_scale: jnp.ndarray,  # [C_out]
     ln_bias: jnp.ndarray,  # [C_out]
     *,
-    fi: jnp.ndarray | None = None,  # [B, N, C_out] (row residual term)
-    fj: jnp.ndarray | None = None,  # [B, N, C_out] (col residual term)
+    fi: jnp.ndarray | None = None,  # [B, N_r, C_out] (row residual term)
+    fj: jnp.ndarray | None = None,  # [B, N_c, C_out] (col residual term)
     wfe: jnp.ndarray | None = None,  # [C_in, C_out] (pair residual kernel)
     tile_i: int = 32,
     tile_j: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Masked-LayerNorm pair MLP output, [B, N, N, C_out]."""
+    """Masked-LayerNorm pair MLP output, [B, N_r, N_c, C_out].
+
+    Rows and columns are independent dimensions so a *row shard* of the
+    edge stack is a first-class input: under sequence parallelism each
+    device calls this kernel on its local [B, N/sp, N, C_in] block (rows
+    local, columns full) via ``shard_map`` — see
+    ``parallel.sp``/``model.ipa.EdgeTransition``. Single-chip callers pass
+    the same mask twice.
+    """
     residual = wfe is not None
-    B, N, _, c_in = pair.shape
+    B, N_r, N_c, c_in = pair.shape
     h = w0.shape[1]
     c_out = wf.shape[1]
     dtype = pair.dtype
@@ -166,10 +175,10 @@ def fused_pair_mlp(
             tile_i //= 2
     # Clamp tiles for short sequences so padding never exceeds the lane/
     # sublane minima (cols padded to 128-multiples, rows to 8-multiples).
-    tile_j = min(tile_j, max(128, -(-N // 128) * 128))
-    tile_i = min(tile_i, max(8, -(-N // 8) * 8))
-    pad_i = (-N) % tile_i
-    pad_j = (-N) % tile_j
+    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
+    pad_i = (-N_r) % tile_i
+    pad_j = (-N_c) % tile_j
     if pad_i or pad_j:
         pair = jnp.pad(pair, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
         i_term = jnp.pad(i_term, ((0, 0), (0, pad_i), (0, 0)))
@@ -177,8 +186,8 @@ def fused_pair_mlp(
         if residual:
             fi = jnp.pad(fi, ((0, 0), (0, pad_i), (0, 0)))
             fj = jnp.pad(fj, ((0, 0), (0, pad_j), (0, 0)))
-    rmask = jnp.pad(node_mask, ((0, 0), (0, pad_i))) if pad_i else node_mask
-    cmask = jnp.pad(node_mask, ((0, 0), (0, pad_j))) if pad_j else node_mask
+    rmask = jnp.pad(row_mask, ((0, 0), (0, pad_i))) if pad_i else row_mask
+    cmask = jnp.pad(col_mask, ((0, 0), (0, pad_j))) if pad_j else col_mask
     n_rows, n_cols = pair.shape[1], pair.shape[2]
 
     grid = (B, n_rows // tile_i, n_cols // tile_j)
@@ -277,12 +286,12 @@ def fused_pair_mlp(
         interpret=interpret,
     )(*args)
     if pad_i or pad_j:
-        out = out[:, :N, :N, :]
+        out = out[:, :N_r, :N_c, :]
     return out
 
 
 def _xla_pair_mlp(
-    pair, i_term, j_term, node_mask,
+    pair, i_term, j_term, row_mask, col_mask,
     w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
     fi, fj, wfe,
 ):
@@ -322,14 +331,14 @@ def _xla_pair_mlp(
     centered = out32 - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
-    emask = node_mask[:, :, None] * node_mask[:, None, :]
+    emask = row_mask[:, :, None] * col_mask[:, None, :]
     return (normed * emask[..., None].astype(F32)).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_pair_mlp_trainable(
     tile_i, tile_j, interpret,
-    pair, i_term, j_term, node_mask,
+    pair, i_term, j_term, row_mask, col_mask,
     w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
     fi, fj, wfe,
 ):
@@ -340,7 +349,7 @@ def fused_pair_mlp_trainable(
     saving the [B, N, N, hidden] activations to HBM (jax.checkpoint-style),
     with the kernel's faster forward on top."""
     return fused_pair_mlp(
-        pair, i_term, j_term, node_mask,
+        pair, i_term, j_term, row_mask, col_mask,
         w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
         fi=fi, fj=fj, wfe=wfe,
         tile_i=tile_i, tile_j=tile_j, interpret=interpret,

@@ -53,15 +53,19 @@ def build_inference_fn(
     rows against the in-model sharding constraints and inserts collectives.
     Incompatible with the single-chip Pallas kernel path.
     """
+    # The edge-transition kernel (use_pallas_kernel) is sp-aware: under an
+    # active sp context EdgeTransition runs it per-shard via shard_map on
+    # each device's local row block (model/ipa.py). The embedder and IPA
+    # kernels are not, so they still require the XLA formulation under sp.
     if sp_mesh is not None and (
-        bool(getattr(model.conf.ipa, "use_pallas_kernel", False))
-        or bool(getattr(model.conf.ipa, "use_pallas_embedder", False))
+        bool(getattr(model.conf.ipa, "use_pallas_embedder", False))
         or bool(getattr(model.conf.ipa, "use_pallas_ipa", False))
     ):
         raise ValueError(
-            "sequence parallelism (sp_mesh) requires the XLA edge-stack "
-            "formulation; set model.ipa.use_pallas_kernel=False and "
-            "model.ipa.use_pallas_embedder=False"
+            "sequence parallelism (sp_mesh) supports the Pallas edge-"
+            "transition kernel (via shard_map) but not the fused embedder/"
+            "IPA kernels; set model.ipa.use_pallas_embedder=False and "
+            "model.ipa.use_pallas_ipa=False"
         )
     reverse_steps = jnp.asarray(
         np.linspace(min_t, 1.0, num_t)[::-1].copy(), jnp.float32

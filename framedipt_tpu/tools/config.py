@@ -103,11 +103,13 @@ class IPAConfig:
     pallas_emb_tile_i: int = 16
     pallas_emb_tile_j: int = 256
     # Fused IPA attention kernel (one pass over z, no [N, N] intermediates
-    # in HBM; forward-only). Measured SLOWER than XLA: the narrow pair-bias
-    # (8-lane) and down_z (32-lane) projections are MXU-padding-bound at
-    # the 128-lane systolic granularity (PERF.md negative results). Kept as
-    # a tested, flag-gated reference; never auto-enabled.
+    # in HBM; forward-only). The round-2 version lost to XLA on MXU padding
+    # (narrow per-head pair projections); round 3 hoists both projections
+    # to a single pass per z row-tile shared across head iterations via
+    # VMEM scratch. None = auto, same policy as use_pallas_kernel.
     use_pallas_ipa: bool | None = None
+    # Run Pallas kernels in interpret mode (CPU-mesh tests only).
+    pallas_interpret: bool = False
 
 
 @dataclass

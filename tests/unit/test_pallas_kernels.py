@@ -75,7 +75,7 @@ def test_fused_pair_mlp_embedder_variant():
 
     with pltpu.force_tpu_interpret_mode():
         got = fused_pair_mlp(
-            pair, i_term, j_term, jnp.asarray(mask),
+            pair, i_term, j_term, jnp.asarray(mask), jnp.asarray(mask),
             w0, b0, w1, b1, wf, bf, lns, lnb,
             tile_i=8, tile_j=16,
         )
@@ -229,12 +229,12 @@ def test_trainable_kernel_gradients_embedder_variant():
 
     def loss_fused(pair, i_term, j_term, *ws):
         out = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, *ws, None, None, None
+            8, 16, False, pair, i_term, j_term, mask, mask, *ws, None, None, None
         )
         return jnp.sum(out * cot)
 
     def loss_xla(pair, i_term, j_term, *ws):
-        out = _xla_pair_mlp(pair, i_term, j_term, mask, *ws, None, None, None)
+        out = _xla_pair_mlp(pair, i_term, j_term, mask, mask, *ws, None, None, None)
         return jnp.sum(out * cot)
 
     argnums = tuple(range(3 + len(weights)))
@@ -275,10 +275,10 @@ def test_trainable_kernel_bf16_forward_matches_xla_twin():
 
     with pltpu.force_tpu_interpret_mode():
         out_fused = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, *weights,
+            8, 16, False, pair, i_term, j_term, mask, mask, *weights,
             None, None, None,
         )
-    out_xla = _xla_pair_mlp(pair, i_term, j_term, mask, *weights,
+    out_xla = _xla_pair_mlp(pair, i_term, j_term, mask, mask, *weights,
                             None, None, None)
     assert out_fused.dtype == out_xla.dtype
     np.testing.assert_allclose(
@@ -292,7 +292,7 @@ def test_trainable_kernel_bf16_forward_matches_xla_twin():
 
     def loss(pair, *ws):
         out = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, *ws, None, None, None
+            8, 16, False, pair, i_term, j_term, mask, mask, *ws, None, None, None
         )
         return jnp.sum((out * cot).astype(jnp.float32))
 

@@ -101,19 +101,78 @@ def test_sp_context_is_identity_when_inactive():
     assert sp_mod.constrain_attn(x) is x
 
 
-def test_sp_rejects_pallas_path():
+def test_sp_rejects_unsupported_pallas_kernels():
+    """The embedder/IPA kernels are not sp-aware (only the edge-transition
+    kernel runs per-shard via shard_map)."""
     import dataclasses
 
     diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
-    mc = dataclasses.replace(SMALL_MODEL)
-    mc.ipa = dataclasses.replace(SMALL_MODEL.ipa, use_pallas_kernel=True)
-    model = ScoreNetwork(mc, diffuser, inpainting=True)
     mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
-    with pytest.raises(ValueError, match="use_pallas_kernel"):
-        build_inference_fn(
-            model, diffuser, num_t=3, min_t=0.01, inpainting=True,
-            sp_mesh=mesh,
-        )
+    for flag in ("use_pallas_embedder", "use_pallas_ipa"):
+        mc = dataclasses.replace(SMALL_MODEL)
+        mc.ipa = dataclasses.replace(SMALL_MODEL.ipa, **{flag: True})
+        model = ScoreNetwork(mc, diffuser, inpainting=True)
+        with pytest.raises(ValueError, match="use_pallas_embedder"):
+            build_inference_fn(
+                model, diffuser, num_t=3, min_t=0.01, inpainting=True,
+                sp_mesh=mesh,
+            )
+
+
+def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
+    """VERDICT r2 item 5: under sp the edge-transition Pallas kernel runs
+    per shard via shard_map (rows local, columns full) instead of being
+    forfeited for XLA. Asserts (a) the kernel really executes once per
+    shard on [N/sp, N] row blocks and (b) the sp=4 trajectory matches the
+    single-device XLA sampler."""
+    import dataclasses
+
+    from framedipt_tpu.model.pallas import pair_mlp as pair_mlp_mod
+
+    diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
+    xla_model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=True)
+    feats = _make_feats(B=1)
+    jfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+    params = xla_model.init(jax.random.PRNGKey(0), jfeats)
+
+    run_single = build_inference_fn(
+        xla_model, diffuser, num_t=2, min_t=0.01, noise_scale=0.1,
+        inpainting=True,
+    )
+    out_single = run_single(params, jfeats, jax.random.PRNGKey(1))
+
+    mc = dataclasses.replace(SMALL_MODEL)
+    mc.ipa = dataclasses.replace(
+        SMALL_MODEL.ipa, use_pallas_kernel=True, pallas_interpret=True
+    )
+    pallas_model = ScoreNetwork(mc, diffuser, inpainting=True)
+
+    shard_shapes = []
+    orig = pair_mlp_mod.fused_pair_mlp_trainable
+
+    def spy(tile_i, tile_j, interpret, pair, *rest):
+        shard_shapes.append(tuple(pair.shape))
+        return orig(tile_i, tile_j, interpret, pair, *rest)
+
+    monkeypatch.setattr(pair_mlp_mod, "fused_pair_mlp_trainable", spy)
+
+    mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
+    run_sp = build_inference_fn(
+        pallas_model, diffuser, num_t=2, min_t=0.01, noise_scale=0.1,
+        inpainting=True, sp_mesh=mesh,
+    )
+    out_sp = run_sp(params, jfeats, jax.random.PRNGKey(1))
+
+    # Each edge transition traced the kernel on a LOCAL [1, N/4, N, C] row
+    # shard — the custom call is per-shard, not global.
+    assert shard_shapes, "pallas kernel was never invoked under sp"
+    assert all(s[1] == N // 4 and s[2] == N for s in shard_shapes), shard_shapes
+
+    np.testing.assert_allclose(
+        np.asarray(out_sp["prot_traj"]),
+        np.asarray(out_single["prot_traj"]),
+        atol=2e-4,
+    )
 
 
 if __name__ == "__main__":
