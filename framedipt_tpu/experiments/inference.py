@@ -16,6 +16,7 @@ Usage:
 """
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 from datetime import datetime
@@ -64,6 +65,12 @@ class Inference:
         name = self.cfg.inference.name or datetime.now().strftime(
             "%d_%m_%Y_%H_%M_%S"
         )
+        # Under the multirun sweeper each job gets its own subdir, the
+        # hydra.job.num run-dir separation equivalent (tools/sweep.py;
+        # reference /root/reference/experiments/utils.py:55-85).
+        job_num = os.environ.get("FRAMEDIPT_JOB_NUM")
+        if job_num is not None:
+            name = f"{name}_job{job_num}" if name else f"job{job_num}"
         self.output_dir = out_base / name
         self.output_dir.mkdir(parents=True, exist_ok=True)
         save_config(self.cfg, str(self.output_dir / "inference_conf.yaml"))
