@@ -152,7 +152,12 @@ class InvariantPointAttention(nn.Module):
                 opair_f.reshape(B, N, H, -1) + bdz.astype(F32)
             ).reshape(B, N, -1)
         else:
-            # Pair bias.
+            # Pair bias. Two separate Linears over z are NOT two HBM sweeps:
+            # XLA multi-output-fuses both projections with z's producer, so
+            # manually concatenating the kernels into one [C_z, H+dz]
+            # projection changes nothing (interleaved A/B: -0.1% at len-512,
+            # -1.7% at len-256, inside the run spread — PERF.md round-3
+            # closure note).
             b = Linear(H, dtype=self.dtype, name="linear_b")(z)  # [B,N,N,H]
 
             # Scalar logits: [B, H, N, N] (f32 accumulation).

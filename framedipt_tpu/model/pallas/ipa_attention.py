@@ -23,9 +23,15 @@ Design notes (TPU/Mosaic):
   two lanes: qhat = [2*q', -|q'|^2, -1, 0...], khat = [k', 1, |k'|^2, 0...]
   so qhat . khat = 2 q'k' - |q'|^2 - |k'|^2 exactly (f32, like the XLA
   path's point logits).
-- **Pair bias / pair value from the same z tile.** The bias column Wb[:, h]
-  arrives via BlockSpec; pair_z = z @ Wdz. The attention-weighted pair
-  output o_pair[i, d] = sum_j p[i, j] pz[i, j, d] is a per-row contraction
+- **Pair bias / pair value: ONE projection pass per z tile.** Both pair
+  projections (all-head bias z @ Wb and pair value z @ Wdz) are
+  head-independent, so they run once at head 0 into VMEM scratch that
+  persists across the sequential innermost head iterations; each head then
+  selects its bias lane with a VPU one-hot reduce. (The round-2 version
+  projected inside every head step — 16 MXU passes over the z tile per
+  row tile, 8 of them matvecs at 8/128 lane utilization — which is why it
+  lost to XLA.) The attention-weighted pair output
+  o_pair[i, d] = sum_j p[i, j] pz[i, j, d] is a per-row contraction
   (both operands depend on i); Mosaic cannot lower it as a batched
   dot_general (rank-1 per batch), so it is phrased as ONE block-diagonal
   matmul: p tiled TI times along lanes, masked to the block-diagonal band,
@@ -33,6 +39,14 @@ Design notes (TPU/Mosaic):
 - All matmuls accumulate f32 on the MXU; softmax is f32; the p used for the
   scalar/pair outputs is cast to the compute dtype, matching the XLA
   formulation's einsum dtypes.
+
+Status (round-3 closure, PERF.md): flag-gated REFERENCE implementation,
+off by default. The single-projection rewrite recovered part of the
+round-2 deficit (full-sampler interleaved A/B: -37% at len-512 vs -41%
+before; -0.8% at len-1024 vs +0.9%) but cannot win: in context XLA already
+multi-output-fuses both pair projections with z's producer (one HBM sweep)
+and runs the N^2 pair path at ~89% of v5e HBM speed-of-light, so the
+custom-call fusion boundary costs more than the <=11% theoretical headroom.
 """
 from __future__ import annotations
 
@@ -59,19 +73,41 @@ def _ipa_attention_kernel(
     z_ref,  # [1, TI, N, c_z]
     rmask_ref,  # [1, TI, 1]
     cmask_ref,  # [1, 1, N]
-    wb_ref,  # [H*8, c_z] bias rows at sublane stride 8 (sqrt(1/3)-scaled)
+    wb_ref,  # [c_z, H] (sqrt(1/3)-scaled)
     wdz_ref,  # [c_z, dz]
     o_ref,  # [1, TI, C] f32
     opt_ref,  # [1, TI, PT_PAD] f32
     opair_ref,  # [1, TI, dz] f32
+    zb_ref,  # scratch [TI*N, H] f32: all-head pair-bias logits
+    pz_ref,  # scratch [TI*N, dz] compute dtype: down-projected pair rep
 ):
     _, ti, _ = q_ref.shape
     n = k_ref.shape[1]
     c_z = z_ref.shape[3]
+    n_heads = zb_ref.shape[1]
     dtype = q_ref.dtype
 
-    z_flat = z_ref[0].reshape(ti * n, c_z)
     dn = (((1,), (1,)), ((), ()))  # contract lane dims, no batch
+
+    # Both pair projections are head-independent per z element, so they run
+    # ONCE per z row-tile — at head 0, into scratch that persists across
+    # the (sequential, innermost) head grid iterations. The earlier
+    # formulation projected inside every head step: 16 MXU passes over the
+    # z tile per row tile (8 bias matvecs at 8/128 lane utilization + the
+    # same down_z product 8 times) vs 2 now — this was the measured reason
+    # the kernel lost to XLA (PERF.md round-2 negative result).
+    h = pl.program_id(2)
+
+    @pl.when(h == 0)
+    def _project_pair():
+        z_flat = z_ref[0].reshape(ti * n, c_z)
+        zb_ref[...] = jax.lax.dot_general(
+            z_flat, wb_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )  # [TI*N, H]
+        pz_ref[...] = jnp.dot(
+            z_flat, wdz_ref[:], preferred_element_type=F32
+        ).astype(dtype)  # [TI*N, dz]
 
     logits = jax.lax.dot_general(
         q_ref[0], k_ref[0], dn, preferred_element_type=F32
@@ -79,18 +115,13 @@ def _ipa_attention_kernel(
     logits = logits + jax.lax.dot_general(
         qpt_ref[0], kpt_ref[0], dn, preferred_element_type=F32
     )
-    # This head's bias row lives at sublane h*8 (stride keeps the dynamic
-    # slice provably 8-aligned; the 7 padding rows are zero). Contracting
-    # against all 8 rows gives [TI*N, 8] with zeros beyond lane 0, and the
-    # lane-sum recovers the single bias column without a width-1 slice
-    # (a bf16 N=1 matvec also trips a Mosaic broadcast-dtype bug).
-    h = pl.program_id(2)
-    wb_rows = wb_ref[pl.ds(h * 8, 8), :]  # [8, c_z]
-    zb8 = jax.lax.dot_general(
-        z_flat, wb_rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=F32,
-    )  # [TI*N, 8]
-    zb = jnp.sum(zb8, axis=1, keepdims=True)
+    # This head's bias: VPU one-hot lane reduce of the precomputed all-head
+    # bias (a width-1 lane slice at a dynamic offset is not supported, and
+    # a per-head matvec would be another full MXU pass over the tile).
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n_heads), 1) == h
+    ).astype(F32)
+    zb = jnp.sum(zb_ref[...] * onehot, axis=1, keepdims=True)  # [TI*N, 1]
     # Mask term: -inf outside valid (i, j) pairs (reference semantics).
     maskterm = inf * (
         rmask_ref[0].astype(F32) * cmask_ref[0].astype(F32) - 1.0
@@ -112,15 +143,14 @@ def _ipa_attention_kernel(
     )
 
     # Attention-weighted pair output via the block-diagonal matmul.
-    pz_flat = jnp.dot(
-        z_flat, wdz_ref[:], preferred_element_type=F32
-    ).astype(dtype)  # [TI*N, dz]
     band = (
         jax.lax.broadcasted_iota(jnp.int32, (ti, ti * n), 1) // n
         == jax.lax.broadcasted_iota(jnp.int32, (ti, ti * n), 0)
     ).astype(dtype)
     p_band = jnp.concatenate([p_c] * ti, axis=1) * band  # [TI, TI*N]
-    opair_ref[0] = jnp.dot(p_band, pz_flat, preferred_element_type=F32) * rm
+    opair_ref[0] = jnp.dot(
+        p_band, pz_ref[...], preferred_element_type=F32
+    ) * rm
 
 
 @functools.partial(
@@ -179,12 +209,11 @@ def fused_ipa_attention(
     cmask = jnp.pad(node_mask, ((0, 0), (0, pad_n))) if pad_n else node_mask
     n_rows, n_cols = q.shape[1], k.shape[1]
 
-    # Bias rows transposed to [H*8, c_z]: head h's row at sublane h*8 so
-    # the kernel's dynamic sublane slice stays 8-aligned.
-    wb_t8 = jnp.zeros((H * 8, c_z), wb.dtype).at[::8].set(wb.T)
-
     # The head axis is a grid dimension: per-head blocks of the flat
-    # [B, N, H*width] arrays are (1, ., width) at lane-block index h.
+    # [B, N, H*width] arrays are (1, ., width) at lane-block index h. It is
+    # the INNERMOST, sequential ("arbitrary") dimension so the z row-tile
+    # block and the pair-projection scratch computed at h == 0 stay
+    # resident across the head iterations.
     grid = (B, n_rows // tile_i, H)
 
     def rowspec(w):
@@ -218,11 +247,15 @@ def fused_ipa_attention(
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (H * 8, c_z), lambda b, i, h: (0, 0), memory_space=pltpu.VMEM
+            (c_z, H), lambda b, i, h: (0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
             (c_z, dzp), lambda b, i, h: (0, 0), memory_space=pltpu.VMEM
         ),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((tile_i * n_cols, H), F32),
+        pltpu.VMEM((tile_i * n_cols, dzp), dtype),
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((B, n_rows, H * C), F32),
@@ -232,7 +265,7 @@ def fused_ipa_attention(
     out_specs = [rowspec(C), rowspec(PT_PAD), rowspec(dzp)]
 
     flops = 2 * B * n_rows * n_cols * H * (C + PT_PAD + C + tile_i * dz) + (
-        2 * B * n_rows * n_cols * c_z * H * (1 + dz)
+        2 * B * n_rows * n_cols * c_z * (H + dz)  # single pair projection
     )
     o, opt, opair = pl.pallas_call(
         functools.partial(_ipa_attention_kernel, inf),
@@ -240,8 +273,9 @@ def fused_ipa_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -257,7 +291,7 @@ def fused_ipa_attention(
         q, k.astype(dtype), v.astype(dtype),
         q_pts_aug.astype(F32), k_pts_aug.astype(F32), v_pts_pad.astype(F32),
         z, rmask.astype(F32)[:, :, None], cmask.astype(F32)[:, None, :],
-        wb_t8.astype(dtype), wdz.astype(dtype),
+        wb.astype(dtype), wdz.astype(dtype),
     )
     if pad_i:
         o, opt, opair = o[:, :N], opt[:, :N], opair[:, :N]
