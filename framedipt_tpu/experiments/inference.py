@@ -79,6 +79,7 @@ class Inference:
         # Auto mode: fused Pallas kernels when the sampler will actually run
         # on a TPU (sampling is forward-only); XLA formulation on CPU/GPU.
         exp_utils.resolve_pallas_flags(self.cfg, logger)
+        exp_utils.setup_compilation_cache(self.cfg, logger)
         self.model = ScoreNetwork(
             self.cfg.model, self.diffuser, inpainting=self.inpainting
         )

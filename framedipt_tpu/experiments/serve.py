@@ -59,9 +59,13 @@ class InpaintingService:
             self._state_dict = state_dict
         self.diffuser = SE3Diffuser(cfg.diffuser)
         # Same auto-kernel policy as the inference CLI (TPU-only).
-        from framedipt_tpu.experiments.utils import resolve_pallas_flags
+        from framedipt_tpu.experiments.utils import (
+            resolve_pallas_flags,
+            setup_compilation_cache,
+        )
 
         resolve_pallas_flags(cfg, logger)
+        setup_compilation_cache(cfg, logger)
         self.model = ScoreNetwork(cfg.model, self.diffuser, inpainting=True)
         if weights:
             self._params = jax.tree_util.tree_map(

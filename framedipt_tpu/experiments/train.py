@@ -175,6 +175,9 @@ class TrainDataset:
 def train(cfg: Config) -> None:
     seed = cfg.experiment.seed
     rng = np.random.default_rng(seed)
+    from framedipt_tpu.experiments.utils import setup_compilation_cache
+
+    setup_compilation_cache(cfg, logger)
     diffuser = SE3Diffuser(cfg.diffuser)
     if cfg.model.ipa.use_pallas_kernel is None:
         # Auto mode enables the kernel for inference only (inference.py);

@@ -92,6 +92,32 @@ class Timer:
         return False
 
 
+def setup_compilation_cache(cfg, logger=None) -> None:
+    """Point JAX's persistent compilation cache at a user-writable dir.
+
+    The first TPU compile of the full 100-step sampler program is ~20-40 s;
+    with the on-disk cache every later CLI invocation (common for the
+    5-sample x strategies x loops eval protocols, and for sweeps) loads the
+    executable instead. The reference has no equivalent concept — torch
+    eager has no AOT compile step to amortize. Failure to create or use the
+    directory is non-fatal: compilation falls back to in-memory only.
+    """
+    path = getattr(cfg.experiment, "compilation_cache_dir", None)
+    if not path:
+        return
+    import jax
+
+    try:
+        cache = pathlib.Path(path).expanduser()
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        if logger is not None:
+            logger.info(f"XLA compilation cache: {cache}")
+    except OSError as exc:  # read-only FS etc.
+        if logger is not None:
+            logger.warning(f"compilation cache disabled: {exc}")
+
+
 def resolve_pallas_flags(cfg, logger=None) -> None:
     """Resolve auto (None) Pallas-kernel flags in cfg.model.ipa, in place.
 

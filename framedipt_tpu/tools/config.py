@@ -193,6 +193,10 @@ class ExperimentConfig:
     early_ckpt_step: int = 100
     eval_freq: int = 50_000
     resume_ckpt_dir: str | None = None
+    # Persistent XLA executable cache (TPU-native addition: amortizes the
+    # ~20-40 s sampler compile across CLI invocations/sweep jobs). None or
+    # "" disables; unwritable paths degrade gracefully to in-memory.
+    compilation_cache_dir: str | None = "~/.cache/framedipt_tpu/xla"
     use_ckpt_conf: bool = False
     ckpt_dir: str = "./ckpt/"
     # Loss weights (ref config/base.yaml:119-136).
