@@ -16,7 +16,11 @@ import pandas as pd
 
 from framedipt_tpu.data.protein import from_pdb_string
 from framedipt_tpu.eval import metrics as eval_metrics
-from framedipt_tpu.eval.tcr_eval import parse_diffusion_info, traverse_prediction_dir
+from framedipt_tpu.eval.tcr_eval import (
+    base_metric_columns as tcr_base_columns,
+    parse_diffusion_info,
+    traverse_prediction_dir,
+)
 from framedipt_tpu.tools.external import ToolUnavailable, run_cg2all
 from framedipt_tpu.tools.log import get_logger
 
@@ -37,9 +41,17 @@ def run(
     ):
         gt = from_pdb_string(gt_path.read_text())
         for i, sample_path in enumerate(sample_paths):
-            fa_path = sample_path.with_name(
-                sample_path.stem + "_cg2all.pdb"
-            )
+            if sample_path.stem.endswith("_all_atom"):
+                # Traversal already picked an existing reconstruction.
+                fa_path = sample_path
+            else:
+                # Reference naming contract: cg2all writes
+                # sample_{i}_1_all_atom.pdb next to the backbone pdb
+                # (eval_cg2all.py:80, directory_parser.py:29) so later
+                # eval passes pick up the full-atom model automatically.
+                fa_path = sample_path.with_name(
+                    sample_path.stem + "_all_atom.pdb"
+                )
             if not fa_path.exists():
                 if skip_convert:
                     continue
@@ -49,15 +61,22 @@ def run(
                     logger.warning(f"cg2all unavailable: {e}")
                     return pd.DataFrame(rows)
             pred = from_pdb_string(fa_path.read_text())
-            rows.append(
+            chains, regions = info["chains"], info["regions"]
+            # Reference row schema (eval_cg2all.py:62-105): base columns +
+            # bb_rmsd + full_atom_rmsd per sample.
+            row = dict(tcr_base_columns(info))
+            row.update(
                 {
-                    "pdb_name": info["pdb_name"],
-                    "sample": i,
+                    "sample_idx": i,
+                    "bb_rmsd": eval_metrics.backbone_rmsd(
+                        pred, gt, chains, regions, regions
+                    ),
                     "full_atom_rmsd": eval_metrics.full_atom_rmsd(
-                        pred, gt, info["chains"], info["regions"], info["regions"]
+                        pred, gt, chains, regions, regions
                     ),
                 }
             )
+            rows.append(row)
     df = pd.DataFrame(rows)
     if len(df):
         df.to_csv(output_dir / "cg2all_eval.csv", index=False)

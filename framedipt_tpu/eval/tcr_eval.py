@@ -52,17 +52,47 @@ def parse_diffusion_info(path: pathlib.Path, cdr_loop_index: int = 0) -> dict:
     }
 
 
-def traverse_prediction_dir(prediction_dir: pathlib.Path, cdr_loop_index: int = 0):
-    """Yield (length_dir, gt_pdb_path, info, [sample pdb paths])."""
+def _sample_pdbs(length_dir: pathlib.Path) -> list[pathlib.Path]:
+    """Per-sample prediction paths, preferring the cg2all full-atom
+    reconstruction ``sample_{i}_1_all_atom.pdb`` where present (reference
+    evaluation/utils/directory_parser.py:7-36 sample_file_parser)."""
+    samples = []
+    for sample_dir in sorted(length_dir.glob("sample_*")):
+        try:
+            idx = int(sample_dir.stem.split("_")[-1])
+        except ValueError:
+            continue
+        all_atom = sample_dir / f"sample_{idx}_1_all_atom.pdb"
+        backbone = sample_dir / f"sample_{idx}_1.pdb"
+        if all_atom.exists():
+            samples.append(all_atom)
+        elif backbone.exists():
+            samples.append(backbone)
+    return samples
+
+
+def traverse_prediction_dir(
+    prediction_dir: pathlib.Path,
+    cdr_loop_index: int = 0,
+    legacy_file_structure: bool = False,
+):
+    """Yield (length_dir, gt_pdb_path, info, [sample pdb paths]).
+
+    Reference: evaluation/utils/directory_parser.py:39-92
+    (traverse_prediction_dir). ``legacy_file_structure`` reads the ground
+    truth and diffusion_info.csv from ``sample_0/`` instead of the
+    length-dir root (older reference output layout).
+    """
     for length_dir in sorted(prediction_dir.glob("*_length_*")):
-        info_path = length_dir / "diffusion_info.csv"
+        base = length_dir / "sample_0" if legacy_file_structure else length_dir
+        info_path = base / "diffusion_info.csv"
         if not info_path.exists():
             continue
         info = parse_diffusion_info(info_path, cdr_loop_index=cdr_loop_index)
-        gt_path = length_dir / f"{info['pdb_name']}_1.pdb"
+        gt_path = base / f"{info['pdb_name']}_1.pdb"
         if not gt_path.exists():
             continue
-        samples = sorted(length_dir.glob("sample_*/sample_*_1.pdb"))
+        samples = _sample_pdbs(length_dir)
         if samples:
             yield length_dir, gt_path, info, samples
 
@@ -168,6 +198,7 @@ def run(
     with_sasa: bool = False,
     cdr_loop_index: int = 0,
     metric_cfg: dict | None = None,
+    legacy_file_structure: bool = False,
 ) -> pd.DataFrame:
     prediction_dir = pathlib.Path(prediction_dir)
     output_dir = pathlib.Path(output_dir or prediction_dir / "evaluation")
@@ -186,7 +217,9 @@ def run(
     strategy_rows: dict[str, list] = {s: [] for s in strategies}
 
     for length_dir, gt_path, info, sample_paths in traverse_prediction_dir(
-        prediction_dir, cdr_loop_index=cdr_loop_index
+        prediction_dir,
+        cdr_loop_index=cdr_loop_index,
+        legacy_file_structure=legacy_file_structure,
     ):
         gt = from_pdb_string(gt_path.read_text())
         preds = [from_pdb_string(p.read_text()) for p in sample_paths]
@@ -365,6 +398,11 @@ def main() -> None:
         "--cdr_loop_index", type=int, default=0,
         help="which CDR loop to evaluate in multi-loop runs (0, 1 or 2)",
     )
+    ap.add_argument(
+        "--legacy", action="store_true",
+        help="older output layout: gt pdb + diffusion_info.csv under "
+        "sample_0/ (ref config/evaluation.yaml:29)",
+    )
     args = ap.parse_args()
     df = run(
         pathlib.Path(args.prediction_dir),
@@ -372,6 +410,7 @@ def main() -> None:
         make_plots=not args.no_plots,
         with_sasa=args.sasa,
         cdr_loop_index=args.cdr_loop_index,
+        legacy_file_structure=args.legacy,
     )
     if len(df):
         logger.info(

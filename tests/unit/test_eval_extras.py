@@ -132,7 +132,13 @@ def test_cg2all_eval_with_mock_converter(tmp_path, monkeypatch):
     assert len(df) == 1
     # Region shifted by 1 A in x => full-atom RMSD == 1.
     assert df.iloc[0]["full_atom_rmsd"] == pytest.approx(1.0, abs=1e-3)
+    assert df.iloc[0]["bb_rmsd"] == pytest.approx(1.0, abs=1e-3)
+    assert "tcr_alpha_chain" in df.columns  # reference row schema
     assert (pred / "evaluation" / "cg2all_eval.csv").exists()
+    # Reference naming contract: the reconstruction lands at
+    # sample_{i}_1_all_atom.pdb so traverse_prediction_dir prefers it.
+    all_atoms = list(pred.glob("*_length_*/sample_*/sample_*_1_all_atom.pdb"))
+    assert all_atoms, "cg2all output not at the reference path"
 
 
 def test_process_pdb_files_cli(tmp_path):
