@@ -58,10 +58,20 @@ def make_mesh(
         if n % fsdp_size:
             raise ValueError(f"{n} devices not divisible by fsdp={fsdp_size}")
         dp_size = n // fsdp_size
-    if dp_size * fsdp_size != n:
-        raise ValueError(
-            f"dp({dp_size}) * fsdp({fsdp_size}) != device count ({n})"
-        )
+    want = dp_size * fsdp_size
+    if want != n:
+        if want < n and jax.process_count() == 1:
+            # Explicit sizes below the host's device count: run on the
+            # leading slice (the reference's hydra-launcher semantics — a
+            # job uses its num_gpus slice of the host, config/base.yaml:147
+            # + hydra.job.num device mapping). Only safe single-process:
+            # a multi-host global mesh needs every process represented.
+            devices = list(devices)[:want]
+            n = want
+        else:
+            raise ValueError(
+                f"dp({dp_size}) * fsdp({fsdp_size}) != device count ({n})"
+            )
     grid = np.asarray(devices).reshape(dp_size, fsdp_size)
     return Mesh(grid, (DP_AXIS, FSDP_AXIS))
 

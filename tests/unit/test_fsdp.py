@@ -40,3 +40,16 @@ def test_fsdp_sharded_train_step():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_make_mesh_takes_leading_slice_when_undersized():
+    """Explicit dp*fsdp below the host device count runs on the leading
+    slice (single-process; the reference's num_gpus-per-job semantics) —
+    a bare dp_size=1 config must work on an 8-device host."""
+    mesh = make_mesh(dp_size=1, fsdp_size=1)
+    assert mesh.devices.shape == (1, 1)
+    assert mesh.devices.flat[0] == jax.devices()[0]
+    mesh2 = make_mesh(dp_size=2, fsdp_size=2)
+    assert mesh2.devices.shape == (2, 2)
+    with pytest.raises(ValueError):
+        make_mesh(dp_size=len(jax.devices()) + 1, fsdp_size=2)
