@@ -201,7 +201,41 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
     }
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a bounded child. When the tunneled TPU is
+    wedged (e.g. after a crashed client), plugin REGISTRATION hangs forever
+    in-process — probing here keeps the bench (and the driver harness that
+    parses its one JSON line) from stalling with it."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "diffusion_steps_per_sec_len256",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": "backend unreachable: jax.devices() did not "
+                    "return within 240s (tunneled TPU wedged); no "
+                    "measurement taken",
+                }
+            )
+        )
+        return
+
     results: dict[str, object] = {}
 
     # f32 reference point (single variant, no pair).
