@@ -282,11 +282,29 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"train_step_4x256_bf16 failed: {e}", file=sys.stderr)
 
-    best256 = max(
+    len256 = [
         v["median"]
         for k, v in results.items()
         if k.startswith("len256") and "batch" not in k and isinstance(v, dict)
-    )
+    ]
+    if not len256:
+        # Every len-256 variant failed: still emit the one JSON line the
+        # driver parses, with the error explicit (same contract as the
+        # backend-unreachable path above).
+        print(
+            json.dumps(
+                {
+                    "metric": "diffusion_steps_per_sec_len256",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": "all len256 variants failed (see stderr)",
+                    "variants": results,
+                }
+            )
+        )
+        return
+    best256 = max(len256)
     print(
         json.dumps(
             {

@@ -18,7 +18,6 @@ from framedipt_tpu.data.protein import from_pdb_string
 from framedipt_tpu.eval import metrics as eval_metrics
 from framedipt_tpu.eval.tcr_eval import (
     base_metric_columns as tcr_base_columns,
-    parse_diffusion_info,
     traverse_prediction_dir,
 )
 from framedipt_tpu.tools.external import ToolUnavailable, run_cg2all
@@ -91,8 +90,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prediction_dir", required=True)
     ap.add_argument("--output_dir", default=None)
-    ap.add_argument("--skip_convert", action="store_true",
-                    help="only evaluate already-converted *_cg2all.pdb files")
+    ap.add_argument(
+        "--skip_convert", action="store_true",
+        help="only evaluate already-converted "
+        "sample_{i}_1_all_atom.pdb files (never invoke cg2all)",
+    )
     args = ap.parse_args()
     run(
         pathlib.Path(args.prediction_dir),

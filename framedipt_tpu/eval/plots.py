@@ -209,6 +209,26 @@ def grouped_alpha_beta_plot(
     return out
 
 
+def median_sample_rows(
+    df: pd.DataFrame, metric: str = "bb_rmsd"
+) -> pd.DataFrame:
+    """One representative row per pdb_name: the sample whose ``metric`` is
+    closest to that pdb's median (ties -> first).
+
+    The reference selects via pd.merge on the exact median value
+    (evaluate_tcr.py:587-590), identical for its odd 5-sample protocol but
+    silently dropping every pdb with an EVEN sample count (the median is
+    the mean of two middle values and matches no row). Closest-to-median
+    keeps one row per pdb for any count.
+    """
+    df = df.reset_index(drop=True)  # unique labels for idxmin -> loc
+    idx = df.groupby("pdb_name")[metric].transform("median")
+    order = (df[metric] - idx).abs()
+    return df.loc[
+        order.groupby(df["pdb_name"]).idxmin().to_numpy()
+    ].reset_index(drop=True)
+
+
 def two_models_scatter_plot(
     df_metrics: pd.DataFrame,
     df_esmfold_metrics: pd.DataFrame,
@@ -217,16 +237,26 @@ def two_models_scatter_plot(
 ) -> pathlib.Path | None:
     """Per-chain backbone-RMSD scatter of this model vs ESMFold/AlphaFold
     with the y=x diagonal (evaluation/utils/plot.py:281-339). ``choice``
-    picks the median or best sample per pdb_name before scattering."""
+    picks the median or best sample per pdb_name before scattering; the
+    two frames are joined on pdb_name (the reference pairs rows
+    positionally, which mislabels points whenever the two CSVs differ in
+    order or row count)."""
     if choice == "median":
-        sel = df_metrics.groupby("pdb_name")["bb_rmsd"].median()
+        df_analyse = median_sample_rows(df_metrics)
     elif choice == "best":
-        sel = df_metrics.groupby("pdb_name")["bb_rmsd"].min()
+        df_analyse = df_metrics.loc[
+            df_metrics.groupby("pdb_name")["bb_rmsd"].idxmin().to_numpy()
+        ]
     else:
         raise ValueError(f"Choice need to be median or best, got {choice}.")
     df_analyse = pd.merge(
-        df_metrics, sel, how="inner", on=["pdb_name", "bb_rmsd"]
+        df_analyse,
+        df_esmfold_metrics[["pdb_name", "bb_rmsd_alpha", "bb_rmsd_beta"]],
+        how="inner",
+        on="pdb_name",
+        suffixes=("", "_esmfold"),
     )
+    df_esmfold_metrics = df_analyse  # aligned per-pdb pairs
     try:
         plt, _ = _mpl()
     except ImportError:  # pragma: no cover
@@ -235,12 +265,12 @@ def two_models_scatter_plot(
     fig, ax = plt.subplots(figsize=(6, 6))
     ax.plot(xs, xs, color="black", linestyle="dashed")
     ax.scatter(
-        df_esmfold_metrics["bb_rmsd_alpha"].to_numpy(),
+        df_analyse["bb_rmsd_alpha_esmfold"].to_numpy(),
         df_analyse["bb_rmsd_alpha"].to_numpy(),
         label="alpha",
     )
     ax.scatter(
-        df_esmfold_metrics["bb_rmsd_beta"].to_numpy(),
+        df_analyse["bb_rmsd_beta_esmfold"].to_numpy(),
         df_analyse["bb_rmsd_beta"].to_numpy(),
         label="beta",
     )

@@ -56,8 +56,8 @@ def _sample_pdbs(length_dir: pathlib.Path) -> list[pathlib.Path]:
     """Per-sample prediction paths, preferring the cg2all full-atom
     reconstruction ``sample_{i}_1_all_atom.pdb`` where present (reference
     evaluation/utils/directory_parser.py:7-36 sample_file_parser)."""
-    samples = []
-    for sample_dir in sorted(length_dir.glob("sample_*")):
+    indexed = []
+    for sample_dir in length_dir.glob("sample_*"):
         try:
             idx = int(sample_dir.stem.split("_")[-1])
         except ValueError:
@@ -65,10 +65,12 @@ def _sample_pdbs(length_dir: pathlib.Path) -> list[pathlib.Path]:
         all_atom = sample_dir / f"sample_{idx}_1_all_atom.pdb"
         backbone = sample_dir / f"sample_{idx}_1.pdb"
         if all_atom.exists():
-            samples.append(all_atom)
+            indexed.append((idx, all_atom))
         elif backbone.exists():
-            samples.append(backbone)
-    return samples
+            indexed.append((idx, backbone))
+    # Numeric order: lexicographic puts sample_10 before sample_2, which
+    # would mislabel per-sample rows in >=10-sample runs.
+    return [p for _, p in sorted(indexed)]
 
 
 def traverse_prediction_dir(
@@ -361,14 +363,17 @@ def _grouped_alpha_beta_plots(
     """The reference's evaluation_plot (evaluate_tcr.py:574-655): median
     sample per pdb_name, one grouped alpha/beta Backbone RMSD plot, then
     per-residue grouped plots over the XTICKS positions."""
-    from framedipt_tpu.eval.plots import XTICKS, grouped_alpha_beta_plot
+    from framedipt_tpu.eval.plots import (
+        XTICKS,
+        grouped_alpha_beta_plot,
+        median_sample_rows,
+    )
 
     if not {"bb_rmsd", "bb_rmsd_alpha", "bb_rmsd_beta"} <= set(df.columns):
         return
-    median_per_pdb = df.groupby("pdb_name")["bb_rmsd"].median()
-    df_analyse = pd.merge(df, median_per_pdb, how="inner", on=["pdb_name", "bb_rmsd"])
-    if not len(df_analyse):
-        df_analyse = df
+    # Closest-to-median row per pdb (robust for even sample counts, where
+    # the reference's exact-value merge drops the pdb — see plots.py).
+    df_analyse = median_sample_rows(df)
     grouped_alpha_beta_plot(
         [df_analyse["bb_rmsd_alpha"].dropna().to_numpy()],
         [df_analyse["bb_rmsd_beta"].dropna().to_numpy()],

@@ -18,6 +18,7 @@ Usage:
 """
 from __future__ import annotations
 
+import os
 import pathlib
 import pickle
 import sys
@@ -200,7 +201,14 @@ def train(cfg: Config) -> None:
     example = next(iter(dataset.batches(2)))
     state = init_train_state(model, optimizer, example, jax.random.PRNGKey(seed))
 
-    ckpt_dir = pathlib.Path(cfg.experiment.ckpt_dir) / cfg.experiment.name
+    # Sweep-job run-dir separation (hydra.job.num equivalent, tools/sweep.py):
+    # without it concurrent sweep jobs would share one ckpt_dir and even
+    # cross-resume each other's checkpoints via the auto-resume below.
+    run_name = cfg.experiment.name
+    job_num = os.environ.get("FRAMEDIPT_JOB_NUM")
+    if job_num is not None:
+        run_name = f"{run_name}_job{job_num}" if run_name else f"job{job_num}"
+    ckpt_dir = pathlib.Path(cfg.experiment.ckpt_dir) / run_name
     resume = cfg.experiment.resume_ckpt_dir or (
         str(ckpt_dir) if latest_checkpoint(ckpt_dir) else None
     )

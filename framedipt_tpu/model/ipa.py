@@ -303,7 +303,17 @@ class EdgeTransition(nn.Module):
         fi = node_bias @ wf[c_e : c_e + bias_size]
         fj = node_bias @ wf[c_e + bias_size :]
 
-        if self.use_pallas:
+        use_kernel = self.use_pallas
+        sp_ctx = sp.active()
+        if use_kernel and sp_ctx is not None:
+            mesh_, axis_ = sp_ctx
+            if edge_embed.shape[1] % mesh_.shape[axis_]:
+                # shard_map needs equal row shards; for lengths not divisible
+                # by sp the GSPMD XLA formulation below handles the ragged
+                # sharding (real complexes have arbitrary N — crashing here
+                # would break exactly the long-complex runs sp targets).
+                use_kernel = False
+        if use_kernel:
             from framedipt_tpu.model.pallas.pair_mlp import (
                 fused_pair_mlp_trainable,
             )
@@ -321,8 +331,7 @@ class EdgeTransition(nn.Module):
                 w0[:c_e], b0, w1, b1, wf, bf, ln_scale, ln_bias,
                 fi.astype(self.dtype), fj.astype(self.dtype), wf[:c_e],
             )
-            ctx = sp.active()
-            if ctx is None:
+            if sp_ctx is None:
                 return fused_pair_mlp_trainable(
                     self.tile_i, self.tile_j, self.interpret, *kernel_args
                 )
@@ -332,7 +341,7 @@ class EdgeTransition(nn.Module):
             # [B, N/sp, N, C] row block (rows local, columns full). This
             # keeps the fused-kernel win for exactly the long-complex
             # lengths sp is meant for (VERDICT r2 item 5).
-            mesh, axis = ctx
+            mesh, axis = sp_ctx
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 

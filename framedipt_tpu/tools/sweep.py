@@ -32,6 +32,7 @@ import os
 import pathlib
 import subprocess
 import sys
+import time
 
 from framedipt_tpu.tools.log import get_logger
 
@@ -90,34 +91,45 @@ def run_sweep(
     running: list[tuple[int, subprocess.Popen]] = []
     failures = 0
 
-    def _reap(block: bool) -> None:
+    def _collect_finished() -> None:
         nonlocal failures
-        while running:
-            idx, proc = running[0]
-            if not block and proc.poll() is None:
-                break
-            rc = proc.wait()
-            running.pop(0)
-            if rc != 0:
+        for idx, proc in [t for t in running if t[1].poll() is not None]:
+            running.remove((idx, proc))
+            if proc.returncode != 0:
                 failures += 1
-                logger.error(f"job {idx} failed (rc={rc}), see {log_dir}/job_{idx}.log")
+                logger.error(
+                    f"job {idx} failed (rc={proc.returncode}), "
+                    f"see {log_dir}/job_{idx}.log"
+                )
             else:
                 logger.info(f"job {idx} done")
 
+    def _wait_for_slot(limit: int) -> None:
+        # Reap ANY finished job, not the oldest: waiting on running[0]
+        # serializes a heterogeneous sweep into synchronized batches while
+        # free slots sit idle behind the longest-running job.
+        while len(running) >= limit:
+            _collect_finished()
+            if len(running) >= limit:
+                time.sleep(0.2)
+
     for i, cmd in enumerate(job_cmds):
-        while len(running) >= max(1, jobs):
-            _reap(block=True)
+        _wait_for_slot(max(1, jobs))
         env = dict(os.environ)
         env["FRAMEDIPT_JOB_NUM"] = str(i)
         if devices:
             env["TPU_VISIBLE_DEVICES"] = devices[i % len(devices)]
         env.update(extra_env or {})
-        log = (log_dir / f"job_{i}.log").open("w")
-        running.append(
-            (i, subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT, env=env))
-        )
+        # Popen dup()s the fd; close the parent's copy immediately or a
+        # large cartesian sweep exhausts the open-file ulimit mid-run.
+        with (log_dir / f"job_{i}.log").open("w") as log:
+            running.append(
+                (i, subprocess.Popen(
+                    cmd, stdout=log, stderr=subprocess.STDOUT, env=env
+                ))
+            )
         logger.info(f"job {i}: {' '.join(cmd)}")
-    _reap(block=True)
+    _wait_for_slot(1)
     return failures
 
 

@@ -149,8 +149,12 @@ def test_two_models_scatter_plot(tmp_path):
             "bb_rmsd_beta": rng.uniform(0, 5, n),
         }
     )
+    # ESMFold rows in a DIFFERENT order than df's pdb groups: pairing must
+    # join on pdb_name, not position (the reference pairs positionally and
+    # mislabels points whenever the two CSVs differ in order/row count).
     df_esm = pd.DataFrame(
         {
+            "pdb_name": ["p2", "p0", "p1"],
             "bb_rmsd_alpha": rng.uniform(0, 5, 3),
             "bb_rmsd_beta": rng.uniform(0, 5, 3),
         }
@@ -158,8 +162,27 @@ def test_two_models_scatter_plot(tmp_path):
     out = plots.two_models_scatter_plot(df, df_esm, tmp_path, choice="best")
     assert out is not None and out.exists()
     assert out.name == "bb_rmsd_framedipt_esmfold_scatter.png"
+    out2 = plots.two_models_scatter_plot(df, df_esm, tmp_path, choice="median")
+    assert out2 is not None and out2.exists()
     with pytest.raises(ValueError):
         plots.two_models_scatter_plot(df, df_esm, tmp_path, choice="worst")
+
+
+def test_median_sample_rows_keeps_even_count_pdbs():
+    """The reference's exact-median merge drops every pdb with an even
+    sample count; closest-to-median keeps one row per pdb for any count."""
+    df = pd.DataFrame(
+        {
+            "pdb_name": ["a"] * 4 + ["b"] * 3,
+            "bb_rmsd": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        }
+    )
+    sel = plots.median_sample_rows(df)
+    assert sorted(sel["pdb_name"]) == ["a", "b"]
+    # Odd-count pdb: exactly the reference's median row.
+    assert sel.loc[sel["pdb_name"] == "b", "bb_rmsd"].item() == 6.0
+    # Even-count pdb: one of the two middle samples (closest to 2.5).
+    assert sel.loc[sel["pdb_name"] == "a", "bb_rmsd"].item() in (2.0, 3.0)
 
 
 def test_length_colored_scatter(tmp_path):

@@ -22,7 +22,7 @@ from framedipt_tpu.tools.config import DiffuserConfig
 from tests.unit.test_sampling import SMALL_MODEL, SMALL_SO3, N
 
 
-def _make_feats(B):
+def _make_feats(B, N=N):
     rng = np.random.default_rng(0)
     trans = rng.normal(size=(B, N, 3)).astype(np.float32) * 4
     qs = rng.normal(size=(B, N, 4)).astype(np.float32)
@@ -168,6 +168,58 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
     assert shard_shapes, "pallas kernel was never invoked under sp"
     assert all(s[1] == N // 4 and s[2] == N for s in shard_shapes), shard_shapes
 
+    np.testing.assert_allclose(
+        np.asarray(out_sp["prot_traj"]),
+        np.asarray(out_single["prot_traj"]),
+        atol=2e-4,
+    )
+
+
+def test_sp_pallas_falls_back_to_xla_for_indivisible_n(monkeypatch):
+    """Real complexes have arbitrary N: when N is not divisible by sp the
+    shard_map kernel path cannot form equal row shards, so EdgeTransition
+    must fall back to the GSPMD XLA formulation (which handles ragged
+    sharding) instead of crashing at trace time."""
+    import dataclasses
+
+    from framedipt_tpu.model.pallas import pair_mlp as pair_mlp_mod
+
+    n_odd = N + 2  # not divisible by sp=4
+    assert n_odd % 4
+    diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
+    feats = _make_feats(B=1, N=n_odd)
+    jfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+
+    mc = dataclasses.replace(SMALL_MODEL)
+    mc.ipa = dataclasses.replace(
+        SMALL_MODEL.ipa, use_pallas_kernel=True, pallas_interpret=True
+    )
+    pallas_model = ScoreNetwork(mc, diffuser, inpainting=True)
+    params = pallas_model.init(jax.random.PRNGKey(0), jfeats)
+
+    calls = []
+    orig = pair_mlp_mod.fused_pair_mlp_trainable
+    monkeypatch.setattr(
+        pair_mlp_mod,
+        "fused_pair_mlp_trainable",
+        lambda *a: calls.append(1) or orig(*a),
+    )
+
+    xla_model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=True)
+    run_single = build_inference_fn(
+        xla_model, diffuser, num_t=2, min_t=0.01, noise_scale=0.1,
+        inpainting=True,
+    )
+    out_single = run_single(params, jfeats, jax.random.PRNGKey(1))
+
+    mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
+    run_sp = build_inference_fn(
+        pallas_model, diffuser, num_t=2, min_t=0.01, noise_scale=0.1,
+        inpainting=True, sp_mesh=mesh,
+    )
+    out_sp = run_sp(params, jfeats, jax.random.PRNGKey(1))
+
+    assert not calls, "kernel must not run under sp with indivisible N"
     np.testing.assert_allclose(
         np.asarray(out_sp["prot_traj"]),
         np.asarray(out_single["prot_traj"]),
