@@ -18,6 +18,7 @@ from framedipt_tpu.data.protein import from_pdb_string
 from framedipt_tpu.eval import metrics as eval_metrics
 from framedipt_tpu.eval.tcr_eval import (
     base_metric_columns as tcr_base_columns,
+    sample_index,
     traverse_prediction_dir,
 )
 from framedipt_tpu.tools.external import ToolUnavailable, run_cg2all
@@ -39,7 +40,8 @@ def run(
         prediction_dir
     ):
         gt = from_pdb_string(gt_path.read_text())
-        for i, sample_path in enumerate(sample_paths):
+        for sample_path in sample_paths:
+            i = sample_index(sample_path)
             if sample_path.stem.endswith("_all_atom"):
                 # Traversal already picked an existing reconstruction.
                 fa_path = sample_path

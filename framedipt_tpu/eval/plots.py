@@ -244,8 +244,9 @@ def two_models_scatter_plot(
     if choice == "median":
         df_analyse = median_sample_rows(df_metrics)
     elif choice == "best":
-        df_analyse = df_metrics.loc[
-            df_metrics.groupby("pdb_name")["bb_rmsd"].idxmin().to_numpy()
+        df_best = df_metrics.reset_index(drop=True)  # unique labels for loc
+        df_analyse = df_best.loc[
+            df_best.groupby("pdb_name")["bb_rmsd"].idxmin().to_numpy()
         ]
     else:
         raise ValueError(f"Choice need to be median or best, got {choice}.")
@@ -256,7 +257,6 @@ def two_models_scatter_plot(
         on="pdb_name",
         suffixes=("", "_esmfold"),
     )
-    df_esmfold_metrics = df_analyse  # aligned per-pdb pairs
     try:
         plt, _ = _mpl()
     except ImportError:  # pragma: no cover

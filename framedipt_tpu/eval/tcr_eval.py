@@ -73,6 +73,14 @@ def _sample_pdbs(length_dir: pathlib.Path) -> list[pathlib.Path]:
     return [p for _, p in sorted(indexed)]
 
 
+def sample_index(path: pathlib.Path) -> int:
+    """The sample's own index, parsed from its ``sample_<k>`` directory.
+    Row attribution must use this, not the enumerate position: a partially
+    resumed run missing e.g. sample_0 would otherwise shift every later
+    sample's metrics onto the wrong index."""
+    return int(path.parent.stem.split("_")[-1])
+
+
 def traverse_prediction_dir(
     prediction_dir: pathlib.Path,
     cdr_loop_index: int = 0,
@@ -228,7 +236,8 @@ def run(
         pdb_name = info["pdb_name"]
 
         base_cols = base_metric_columns(info)
-        for i, (path, pred) in enumerate(zip(sample_paths, preds)):
+        for path, pred in zip(sample_paths, preds):
+            i = sample_index(path)
             row = dict(base_cols)
             row.update({"sample_idx": i, "sample": i, "path": str(path)})
             row.update(compute_sample_metrics(gt, pred, info))

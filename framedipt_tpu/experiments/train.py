@@ -68,7 +68,6 @@ class TrainDataset:
         self.meta = meta.reset_index(drop=True)
         logger.info(f"dataset: {len(self.meta)} structures after filters")
         self._cache: dict[int, dict] = {}
-        self._length_cache: np.ndarray | None = None
 
         # Cluster-balanced sampling (ref config data.cluster_file /
         # num_clusters): examples weighted 1/cluster_size so large sequence
@@ -96,16 +95,20 @@ class TrainDataset:
             )
 
     def _features(self, idx: int) -> dict:
+        # Cache the pickle IO only: build_model_features draws the random
+        # single-chain pick and chain crop from rng, and memoizing its
+        # output would freeze one chain/window per structure for the whole
+        # run (the reference re-featurizes per __getitem__). Featurization
+        # is cheap and overlapped by the prefetch thread.
         if idx not in self._cache:
             with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
-                raw = pickle.load(f)
-            self._cache[idx] = feature_lib.build_model_features(
-                raw,
-                extract_single_chain=self.cfg.data.single_chain,
-                rng=self.rng,
-                chain_max_len=self.cfg.data.filtering.chain_max_len,
-            )
-        return self._cache[idx]
+                self._cache[idx] = pickle.load(f)
+        return feature_lib.build_model_features(
+            self._cache[idx],
+            extract_single_chain=self.cfg.data.single_chain,
+            rng=self.rng,
+            chain_max_len=self.cfg.data.filtering.chain_max_len,
+        )
 
     def example(self, idx: int) -> dict:
         feats = dict(self._features(idx))
@@ -122,25 +125,16 @@ class TrainDataset:
             feats["fixed_mask"] = np.zeros_like(feats["res_mask"])
         return feats
 
-    def _lengths(self) -> np.ndarray:
-        """Per-example feature lengths used for bucketing. With single-chain
-        extraction the metadata's modeled_seq_len is the FULL complex length
-        — bucketing by it would pad every batch to the complex size."""
-        if self._length_cache is None:
-            if self.cfg.data.single_chain:
-                self._length_cache = np.asarray(
-                    [
-                        int(self._features(i)["res_mask"].shape[0])
-                        for i in range(len(self.meta))
-                    ]
-                )
-            else:
-                self._length_cache = self.meta["modeled_seq_len"].to_numpy()
-        return self._length_cache
-
     def batches(self, batch_size: int):
-        """Yield stacked batches of same-bucket examples each epoch."""
-        lengths = self._lengths()
+        """Yield stacked batches of same-bucket examples each epoch.
+
+        Examples are featurized FIRST and bucketed by their actual length:
+        with single-chain extraction the drawn chain (and so the length)
+        is re-rolled every epoch, so a precomputed per-idx length could
+        undershoot a later draw and break the static bucket padding.
+        Bucketing by the metadata's modeled_seq_len would instead pad every
+        batch to the full complex size.
+        """
         if self.sample_weights is not None:
             order = self.rng.choice(
                 len(self.meta), size=len(self.meta), replace=True,
@@ -148,29 +142,32 @@ class TrainDataset:
             )
         else:
             order = self.rng.permutation(len(self.meta))
-        buckets: dict[int, list[int]] = {}
-        for idx in order:
-            b = feature_lib.length_bucket(int(lengths[idx]))
-            buckets.setdefault(b, []).append(int(idx))
-        for bucket_len, idxs in buckets.items():
+
+        def _cap(bucket_len: int) -> int:
             # Cap batch by the reference's quadratic memory rule.
-            cap = max(
+            return max(
                 1,
                 min(
                     batch_size,
                     self.cfg.experiment.max_squared_res // bucket_len**2,
                 ),
             )
-            for i in range(0, len(idxs), cap):
-                group = idxs[i : i + cap]
-                feats = [
-                    feature_lib.pad_feats(self.example(j), bucket_len)
-                    for j in group
-                ]
-                batch = {
-                    k: np.stack([f[k] for f in feats]) for k in _BATCH_KEYS
-                }
-                yield batch
+
+        def _stack(group: list[dict], bucket_len: int) -> dict:
+            feats = [feature_lib.pad_feats(f, bucket_len) for f in group]
+            return {k: np.stack([f[k] for f in feats]) for k in _BATCH_KEYS}
+
+        pending: dict[int, list[dict]] = {}
+        for idx in order:
+            feats = self.example(int(idx))
+            b = feature_lib.length_bucket(int(feats["res_mask"].shape[0]))
+            pending.setdefault(b, []).append(feats)
+            if len(pending[b]) >= _cap(b):
+                yield _stack(pending[b][: _cap(b)], b)
+                pending[b] = pending[b][_cap(b) :]
+        for b, group in pending.items():
+            for i in range(0, len(group), _cap(b)):
+                yield _stack(group[i : i + _cap(b)], b)
 
 
 def train(cfg: Config) -> None:
@@ -253,6 +250,7 @@ def train(cfg: Config) -> None:
     from framedipt_tpu.train.prefetch import prefetch
 
     step = int(state.step)
+    eval_run = None  # built lazily at the first eval_freq boundary
     log_t0 = time.time()
     with mesh:
         for epoch in range(cfg.experiment.num_epoch):
@@ -266,9 +264,13 @@ def train(cfg: Config) -> None:
                 dp = mesh.shape["dp"]
                 bsz = batch["res_mask"].shape[0]
                 if bsz % dp:
-                    reps = dp - bsz % dp
+                    # Cycle indices: v[:reps] under-pads when reps > bsz
+                    # (e.g. a 1-element max_squared_res-capped batch on a
+                    # dp=4 mesh) and the NamedSharding put then raises.
+                    pad_idx = np.resize(np.arange(bsz), dp - bsz % dp)
                     batch = {
-                        k: np.concatenate([v, v[:reps]]) for k, v in batch.items()
+                        k: np.concatenate([v, v[pad_idx]])
+                        for k, v in batch.items()
                     }
                 if importance is not None:
                     t_np, w_np = importance.sample(rng, batch["res_mask"].shape[0])
@@ -279,7 +281,7 @@ def train(cfg: Config) -> None:
                 if importance is not None:
                     importance.update(
                         np.asarray(metrics["t"]),
-                        np.asarray(metrics["per_example_loss"]),
+                        np.asarray(metrics["raw_per_example_loss"]),
                     )
                 step += 1
 
@@ -314,6 +316,22 @@ def train(cfg: Config) -> None:
                     save_checkpoint(
                         ckpt_dir, step, state.params, state.opt_state, cfg,
                         epoch=epoch,
+                    )
+                if step % cfg.experiment.eval_freq == 0:
+                    from framedipt_tpu.train.eval_sampling import (
+                        build_eval_sampler,
+                        run_training_eval,
+                    )
+
+                    if eval_run is None:
+                        eval_run = build_eval_sampler(model, diffuser, cfg)
+                    key, k_eval = jax.random.split(key)
+                    mlogger.log(
+                        step,
+                        run_training_eval(
+                            eval_run, diffuser, cfg, state.params, step,
+                            k_eval,
+                        ),
                     )
     save_checkpoint(ckpt_dir, step, state.params, state.opt_state, cfg)
 

@@ -264,6 +264,15 @@ class EdgeTransition(nn.Module):
         MLP chain (+ LayerNorm + edge-mask epilogue when ``node_mask`` is
         given) runs as one fused VMEM-resident kernel
         (model/pallas/pair_mlp.py) — inference only."""
+        if self.num_layers != 2:
+            # The decomposed matmuls, the fused kernel, and the
+            # importer-compatible trunk_0/trunk_1 param layout all assume
+            # the reference's default 2-layer trunk (config/base.yaml) —
+            # fail loudly rather than silently building 2 layers.
+            raise NotImplementedError(
+                f"EdgeTransition supports num_layers=2 only, got "
+                f"{self.num_layers}"
+            )
         bias_size = self.node_embed_size // self.node_dilation
         node_bias = Linear(
             bias_size, w_init="relu", dtype=self.dtype, name="initial_embed"
@@ -395,7 +404,15 @@ class EdgeTransition(nn.Module):
         centered = out32 - mean
         var = jnp.mean(centered * centered, axis=-1, keepdims=True)
         normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
-        return sp.constrain_edge(normed.astype(self.dtype))
+        normed = normed.astype(self.dtype)
+        if node_mask is not None:
+            # Same edge-mask epilogue the kernel fuses: the module applies
+            # it on EVERY path so the trunk's masking cannot diverge from
+            # the execution path actually taken (e.g. the sp-indivisible-N
+            # fallback above, where the config flag still says "kernel").
+            em = node_mask[:, :, None] * node_mask[:, None, :]
+            normed = normed * em[..., None].astype(self.dtype)
+        return sp.constrain_edge(normed)
 
 
 class SeqTransformerLayer(nn.Module):
@@ -477,8 +494,6 @@ class IpaTrunk(nn.Module):
         dtype = (
             jnp.bfloat16 if self.conf.compute_dtype == "bfloat16" else jnp.float32
         )
-        edge_mask = node_mask[..., None] * node_mask[..., None, :]
-
         curr = Rigid.from_tensor7(rigids_t7).scale_trans(ipa_conf.coordinate_scaling)
         init_node_embed = (init_node_embed * node_mask[..., None]).astype(dtype)
         edge_embed = sp.constrain_edge(edge_embed.astype(dtype))
@@ -535,9 +550,8 @@ class IpaTrunk(nn.Module):
                     interpret=bool(getattr(ipa_conf, "pallas_interpret", False)),
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask.astype(dtype))
-                if not bool(ipa_conf.use_pallas_kernel):
-                    # Pallas path fuses the edge-mask epilogue in the kernel.
-                    edge_embed = edge_embed * edge_mask[..., None].astype(dtype)
+                # Edge-mask epilogue is applied inside EdgeTransition on
+                # every path (fused in the kernel; explicit on XLA).
 
         _, psi_pred = TorsionAngles(ipa_conf.c_s, 1, name="torsion_pred")(
             node_embed.astype(F32)

@@ -145,8 +145,24 @@ def build_train_step(
         k_noise, k_sc, k_recycle = jax.random.split(key, 3)
         t, marg = noise_batch(batch, k_noise)
         rigids_t7 = marg.rigids_t.to_tensor7()
+        trans_score_target = marg.trans_score
+        rot_score_target = marg.rot_score
         if exp_conf.recycle.enabled:
             rigids_t7 = recycle_rigids(params, batch, rigids_t7, t, k_recycle)
+            # The recycled rigids are a DIFFERENT x_t realization than the
+            # forward_marginal draw, so the score targets must be recomputed
+            # against them — otherwise even a perfect x_0 prediction carries
+            # nonzero loss biased by (x_t_recycled - x_t_orig). The loss is
+            # masked to the diffused region, where both are valid targets.
+            r0 = batch["rigids_0"].astype(jnp.float32)
+            if diffuser.diffuse_trans:
+                trans_score_target = diffuser.calc_trans_score(
+                    rigids_t7[..., 4:], r0[..., 4:], t
+                )
+            if diffuser.diffuse_rot:
+                rot_score_target = diffuser.calc_rot_score(
+                    rigids_t7[..., :4], r0[..., :4], t
+                )
 
         # Ground-truth idealized backbone atoms from the clean frames.
         gt_psi = batch["torsion_angles_sin_cos"][..., 2, :]
@@ -177,8 +193,8 @@ def build_train_step(
         loss_batch = {
             **batch,
             "t": t,
-            "trans_score": marg.trans_score,
-            "rot_score": marg.rot_score,
+            "trans_score": trans_score_target,
+            "rot_score": rot_score_target,
             "trans_score_scaling": marg.trans_score_scaling,
             "rot_score_scaling": marg.rot_score_scaling,
             "atom14_gt": atom14_gt,
@@ -191,7 +207,13 @@ def build_train_step(
             diffuse_trans=diffuser.diffuse_trans,
         )
         if "loss_weight" in batch:
-            # Unbiased reweighting under importance-sampled timesteps.
+            # Unbiased reweighting under importance-sampled timesteps. The
+            # history fed back to the sampler must be the RAW per-example
+            # loss: storing the 1/p-weighted value makes the next proposal
+            # proportional to raw/w_old, whose fixed point is w ~ sqrt(raw)
+            # — under-concentrating on high-loss bins (improved-DDPM
+            # recipe stores the unweighted loss).
+            terms["raw_per_example_loss"] = terms["per_example_loss"]
             per_ex = terms["per_example_loss"] * batch["loss_weight"]
             total = jnp.mean(per_ex)
             terms["per_example_loss"] = per_ex

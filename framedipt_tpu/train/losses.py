@@ -120,10 +120,13 @@ def score_matching_losses(
     pair_mask = pair_mask * (
         1.0 - jnp.eye(num_res * 5, dtype=pair_mask.dtype)[None]
     )
-    # Only local structure matters for the auxiliary loss: cap at 6A like
-    # the FrameDiff lineage (distances beyond are zeroed from the target).
-    gt_d = gt_d * (gt_d < 6.0)
-    dist_mse = (gt_d - pred_d) ** 2 * (gt_d > 0)
+    # Only local structure matters for the auxiliary loss: restrict to
+    # gt pairs < 6A like the FrameDiff lineage. The restriction must be in
+    # the MASK (numerator and denominator): normalizing by all valid pairs
+    # shrinks the loss by the local/total pair ratio (~O(1/N)), silently
+    # disabling the auxiliary for long proteins.
+    pair_mask = pair_mask * (gt_d < 6.0) * (gt_d > 0)
+    dist_mse = (gt_d - pred_d) ** 2
     dist_mat_loss = jnp.sum(dist_mse * pair_mask, axis=(-1, -2)) / (
         jnp.sum(pair_mask, axis=(-1, -2)) + 1e-10
     )

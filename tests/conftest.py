@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize sets jax_platforms="axon,cpu" at interpreter start;
+# the first backend init then dials the TPU tunnel, which blocks the whole
+# suite whenever the tunnel is wedged. Tests are CPU-only by design — pin
+# the platform list BEFORE any backend call so the axon client is never
+# constructed. (Setting JAX_PLATFORMS in the environment is not enough:
+# register() overrides it via jax.config.)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

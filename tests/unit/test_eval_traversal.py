@@ -57,6 +57,24 @@ def test_traversal_legacy_layout(tmp_path):
     assert len(samples) == 3
 
 
+def test_row_attribution_survives_missing_sample(tmp_path):
+    """Rows must carry the sample's OWN directory index, not its enumerate
+    position: a partially resumed run missing sample_0 would otherwise
+    shift every later sample's metrics onto the wrong index
+    (tcr_eval.sample_index)."""
+    run_dir = make_fake_run(tmp_path)
+    ldir = _length_dir(run_dir)
+    shutil.rmtree(ldir / "sample_0")
+
+    df = tcr_eval.run(run_dir, make_plots=False)
+    assert sorted(df["sample_idx"].tolist()) == [1, 2]
+    # Known synthetic errors (x-shift of 2*(s+1)/3 over the region): the
+    # rows must pair each index with ITS shift, not sample_0/1's.
+    by_idx = df.set_index("sample_idx")["backbone_rmsd"]
+    np.testing.assert_allclose(by_idx.loc[1], 4.0 / 3, atol=2e-3)
+    np.testing.assert_allclose(by_idx.loc[2], 2.0, atol=2e-3)
+
+
 def test_reindex_prediction_dir(tmp_path):
     run_dir = make_fake_run(tmp_path / "in")
     ldir = _length_dir(run_dir)

@@ -96,6 +96,216 @@ def test_loss_decreases(trainer):
     )
 
 
+@pytest.mark.parametrize("mode", ["max", "next"])
+def test_recycle_enabled_step_finite(mode):
+    """Training-time recycling (ref experiments/utils.py:440-508): the step
+    must run with finite loss/grads, with score targets recomputed against
+    the recycled x_t rather than the original forward_marginal draw."""
+    cfg = tiny_cfg()
+    cfg.experiment.recycle.enabled = True
+    cfg.experiment.recycle.mode = mode
+    diffuser = SE3Diffuser(cfg.diffuser)
+    model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+    optimizer = make_optimizer(cfg.experiment.learning_rate)
+    batch = make_batch()
+    state = init_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = jax.jit(build_train_step(model, diffuser, cfg, optimizer))
+    _, metrics = step(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_calc_scores_consistent_with_forward_marginal():
+    """The recycle path recomputes score targets via calc_{trans,rot}_score
+    on the recycled rigids (train/loop.py loss_fn). That is only valid if
+    those closed forms reproduce forward_marginal's own reported scores when
+    fed its own draw — assert that identity here."""
+    cfg = tiny_cfg()
+    diffuser = SE3Diffuser(cfg.diffuser)
+    batch = make_batch(B=2, N=6, seed=3)
+    from framedipt_tpu.geometry.rigid import Rigid
+
+    t = jnp.asarray([0.3, 0.8])
+    marg = jax.vmap(
+        lambda k, r7, ti: diffuser.forward_marginal(
+            k, Rigid.from_tensor7(r7), ti
+        )
+    )(jax.random.split(jax.random.PRNGKey(5), 2), batch["rigids_0"], t)
+    r_t7 = marg.rigids_t.to_tensor7()
+    trans_again = diffuser.calc_trans_score(
+        r_t7[..., 4:], batch["rigids_0"][..., 4:], t
+    )
+    rot_again = diffuser.calc_rot_score(
+        r_t7[..., :4], batch["rigids_0"][..., :4], t
+    )
+    np.testing.assert_allclose(
+        np.asarray(trans_again), np.asarray(marg.trans_score),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rot_again), np.asarray(marg.rot_score),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_importance_weighting_keeps_raw_history(trainer):
+    """Under importance-sampled timesteps the sampler history must be fed
+    the RAW per-example loss (improved-DDPM recipe), while the optimized
+    loss is the 1/p-weighted one."""
+    state, step, batch = trainer
+    b = int(batch["res_mask"].shape[0])
+    weighted = dict(batch)
+    weighted["t"] = jnp.asarray(np.linspace(0.2, 0.9, b), jnp.float32)
+    weighted["loss_weight"] = jnp.asarray([0.5, 2.0][:b], jnp.float32)
+    _, metrics = step(state, weighted, jax.random.PRNGKey(11))
+    raw = np.asarray(metrics["raw_per_example_loss"])
+    per_ex = np.asarray(metrics["per_example_loss"])
+    np.testing.assert_allclose(
+        per_ex, raw * np.asarray(weighted["loss_weight"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics["total_loss"]), per_ex.mean(), rtol=1e-6
+    )
+    assert not np.allclose(raw, per_ex)
+
+
+def test_dist_mat_loss_normalized_by_local_pairs():
+    """The <6A restriction lives in the MASK: far pairs contribute neither
+    error nor denominator. Normalizing by all valid pairs would shrink the
+    auxiliary by the local/total ratio and vanish for long proteins."""
+    from framedipt_tpu.train.losses import score_matching_losses
+
+    cfg = tiny_cfg()
+    B, N = 1, 3
+    # Residues 10A apart (all inter-residue pairs excluded); 5 bb atoms per
+    # residue spaced 0.5A apart along x (all intra pairs < 6A included).
+    gt = np.zeros((B, N, 14, 3), np.float32)
+    for i in range(N):
+        for j in range(5):
+            gt[0, i, j, 0] = 10.0 * i + 0.5 * j
+    pred_atoms = gt.copy()
+    pred_atoms[0, 0, 0, 1] += 1.0  # perturb one atom off-axis
+    zeros_bn3 = jnp.zeros((B, N, 3), jnp.float32)
+    rigids = jnp.concatenate(
+        [jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, N, 1)), zeros_bn3], -1
+    )
+    batch = {
+        "t": jnp.zeros((B,), jnp.float32),  # below every t-filter
+        "res_mask": jnp.ones((B, N), jnp.float32),
+        "fixed_mask": jnp.zeros((B, N), jnp.float32),
+        "trans_score": zeros_bn3,
+        "rot_score": zeros_bn3,
+        "trans_score_scaling": jnp.ones((B,), jnp.float32),
+        "rot_score_scaling": jnp.ones((B,), jnp.float32),
+        "rigids_0": rigids,
+        "atom14_gt": jnp.asarray(gt),
+    }
+    pred = {
+        "trans_score": zeros_bn3,
+        "rot_score": zeros_bn3,
+        "rigids": rigids,
+        "atom14": jnp.asarray(pred_atoms),
+    }
+    _, terms = score_matching_losses(pred, batch, cfg.experiment)
+    # Hand-computed: only pairs (res0 atom0, res0 atom j!=0), both
+    # directions, change distance; every local ordered intra-residue pair
+    # counts in the denominator: 3 residues x 5x4 = 60.
+    err = sum(
+        (np.sqrt((0.5 * j) ** 2 + 1.0) - 0.5 * j) ** 2 for j in range(1, 5)
+    )
+    expected = (
+        2 * err / 60.0
+        * cfg.experiment.dist_mat_loss_weight
+    )
+    np.testing.assert_allclose(
+        float(terms["dist_mat_loss"]), expected, rtol=1e-4
+    )
+
+
+def test_batches_bucket_by_rerolled_length():
+    """batches() must featurize first and bucket by the ACTUAL drawn length:
+    with single-chain extraction the chain is re-rolled per epoch, so a
+    cached per-idx length can undershoot a later draw."""
+    from framedipt_tpu.data import features as feature_lib
+    from framedipt_tpu.experiments.train import _BATCH_KEYS, TrainDataset
+
+    lengths = iter([10, 70, 30, 130])  # re-rolled draws across two epochs
+
+    def fake_example(idx):
+        n = next(lengths)
+        return {
+            "rigids_0": np.zeros((n, 7), np.float32),
+            "res_mask": np.ones((n,), np.float32),
+            "fixed_mask": np.zeros((n,), np.float32),
+            "seq_idx": np.arange(n, dtype=np.int32),
+            "torsion_angles_sin_cos": np.zeros((n, 7, 2), np.float32),
+            "aatype": np.zeros((n,), np.int32),
+        }
+
+    import pandas as pd
+
+    ds = object.__new__(TrainDataset)
+    ds.meta = pd.DataFrame({"processed_path": ["a", "b"]})
+    ds.rng = np.random.default_rng(0)
+    ds.sample_weights = None
+    ds.cfg = tiny_cfg()
+    ds.example = fake_example
+
+    got = []
+    for epoch in range(2):
+        for b in ds.batches(batch_size=4):
+            assert set(b) == set(_BATCH_KEYS)
+            got.append(b["res_mask"].shape)
+    # Each example padded to the bucket of its own drawn length.
+    padded = sorted(s[1] for s in got)
+    assert padded == [64, 64, 128, 192]
+
+
+def test_training_eval_sampling(tmp_path):
+    """Periodic in-training eval (config contract eval_freq/eval_dir,
+    ref base.yaml:110-112): unconditional samples at bucket-padded eval
+    lengths, PDBs written under eval_dir/step_<k>/, finite aggregate
+    plausibility metrics."""
+    from framedipt_tpu.train.eval_sampling import (
+        build_eval_sampler,
+        eval_lengths,
+        run_training_eval,
+    )
+
+    cfg = tiny_cfg()
+    cfg.data.num_t = 3
+    cfg.data.filtering.min_len = 8
+    cfg.data.filtering.max_len = 20
+    cfg.data.num_eval_lengths = 2
+    cfg.data.samples_per_eval_length = 2
+    cfg.experiment.eval_dir = str(tmp_path / "eval")
+
+    assert eval_lengths(cfg) == [8, 20]
+
+    diffuser = SE3Diffuser(cfg.diffuser)
+    model = ScoreNetwork(cfg.model, diffuser, inpainting=False)
+    batch = make_batch()
+    state = init_train_state(
+        model, make_optimizer(), batch, jax.random.PRNGKey(0)
+    )
+    run = build_eval_sampler(model, diffuser, cfg)
+    agg = run_training_eval(
+        run, diffuser, cfg, state.params, step=7, key=jax.random.PRNGKey(1)
+    )
+    for k, v in agg.items():
+        assert np.isfinite(v), k
+    assert "eval_ca_ca_deviation" in agg
+    assert "eval_helix_percent" in agg
+    for length in (8, 20):
+        ldir = tmp_path / "eval" / "step_7" / f"length_{length}"
+        pdbs = sorted(ldir.glob("sample_*.pdb"))
+        assert len(pdbs) == 2, ldir
+        from framedipt_tpu.data.protein import from_pdb_string
+
+        prot = from_pdb_string(pdbs[0].read_text())
+        assert len(prot.aatype) == length  # bucket padding sliced off
+
+
 @pytest.mark.slow
 def test_dp_mesh_sharded_step():
     cfg = tiny_cfg()
