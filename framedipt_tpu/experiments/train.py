@@ -176,6 +176,18 @@ def train(cfg: Config) -> None:
     from framedipt_tpu.experiments.utils import setup_compilation_cache
 
     setup_compilation_cache(cfg, logger)
+    if cfg.experiment.use_ckpt_conf and cfg.experiment.resume_ckpt_dir:
+        # Warm-start config precedence (ref base.yaml:116 use_ckpt_conf +
+        # inference.py:131-136 semantics): the checkpoint's model/diffuser
+        # sections override the runtime config so the restored weights
+        # always meet the architecture they were trained with. Experiment/
+        # data sections stay runtime-controlled.
+        ckpt = latest_checkpoint(cfg.experiment.resume_ckpt_dir)
+        if ckpt is not None and (ckpt / "config.yaml").exists():
+            saved_cfg = load_config(str(ckpt / "config.yaml"))
+            cfg.model = saved_cfg.model
+            cfg.diffuser = saved_cfg.diffuser
+            logger.info(f"use_ckpt_conf: model/diffuser config from {ckpt}")
     diffuser = SE3Diffuser(cfg.diffuser)
     if cfg.model.ipa.use_pallas_kernel is None:
         # Auto mode enables the kernel for inference only (inference.py);

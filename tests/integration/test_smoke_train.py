@@ -129,6 +129,41 @@ def test_smoke_train_loss_ckpt_sample(preprocessed, tmp_path):
     assert samples, "no sample written from trained checkpoint"
 
 
+def test_use_ckpt_conf_warm_start(preprocessed, tmp_path):
+    """Warm-start config precedence (ref base.yaml:116): with
+    use_ckpt_conf=True the checkpoint's model/diffuser sections override a
+    MISMATCHED runtime config, so the restored weights meet the
+    architecture they were trained with."""
+    from framedipt_tpu.experiments.train import train
+    from framedipt_tpu.train.checkpoints import latest_checkpoint
+
+    ckpt_root = tmp_path / "ckpt"
+    cfg = _tiny_train_cfg(preprocessed, ckpt_root)
+    cfg.experiment.num_epoch = 2
+    cfg.experiment.ckpt_freq = 2
+    cfg.experiment.early_ckpt = False
+    train(cfg)
+    first_ckpt_dir = ckpt_root / "smoke"
+    assert latest_checkpoint(first_ckpt_dir) is not None
+
+    # Second run: runtime config declares a DIFFERENT architecture, which
+    # could not restore the step-2 weights; use_ckpt_conf must win.
+    cfg2 = _tiny_train_cfg(preprocessed, tmp_path / "ckpt2")
+    cfg2.model.node_embed_size = 48  # mismatched on purpose
+    cfg2.model.ipa.c_s = 48
+    cfg2.experiment.num_epoch = 3
+    cfg2.experiment.ckpt_freq = 100
+    cfg2.experiment.early_ckpt = False
+    cfg2.experiment.resume_ckpt_dir = str(first_ckpt_dir)
+    cfg2.experiment.use_ckpt_conf = True
+    train(cfg2)  # raises on shape mismatch if precedence is broken
+    assert cfg2.model.node_embed_size == 32
+    # The resumed run continued past the restored step (final checkpoint).
+    final = latest_checkpoint(tmp_path / "ckpt2" / "smoke")
+    assert final is not None
+    assert int(final.name.split("_")[-1]) > 2
+
+
 def test_input_pipeline_overlaps_compute(preprocessed, tmp_path):
     """steps/s including data loading stays close to compute-only."""
     from framedipt_tpu.diffusion import SE3Diffuser
