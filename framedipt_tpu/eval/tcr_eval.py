@@ -274,12 +274,17 @@ def run(
         for strategy, result in selections.items():
             if result["index"] is not None:
                 chosen = preds[result["index"]]
+                # Report the sample's DIRECTORY index, consistent with
+                # eval_metrics_all.csv's sample_idx — the positional index
+                # into preds diverges when a resumed run misses a sample.
+                selected = sample_index(sample_paths[result["index"]])
             else:
                 chosen = sel_lib.synthesize_protein(
                     preds[0], sel_res, BACKBONE_IDX, result["coords"]
                 )
+                selected = None
             row = dict(base_cols)
-            row.update({"strategy": strategy, "selected_sample": result["index"]})
+            row.update({"strategy": strategy, "selected_sample": selected})
             row.update(compute_sample_metrics(gt, chosen, info))
             row.update(reference_metric_columns(gt, chosen, info, metric_cfg))
             strategy_rows[strategy].append(row)

@@ -18,6 +18,7 @@ Usage:
 """
 from __future__ import annotations
 
+import collections
 import os
 import pathlib
 import pickle
@@ -67,7 +68,14 @@ class TrainDataset:
             meta = meta.iloc[: filt.subset]
         self.meta = meta.reset_index(drop=True)
         logger.info(f"dataset: {len(self.meta)} structures after filters")
-        self._cache: dict[int, dict] = {}
+        # LRU over RAW structure pickles (full complexes, much larger than
+        # the cropped features) — an unbounded per-idx cache would grow to
+        # the whole dataset's uncropped size over one epoch. The reference
+        # bounds its equivalent with lru_cache (data/utils.py:744).
+        self._cache: "collections.OrderedDict[int, dict]" = (
+            collections.OrderedDict()
+        )
+        self._cache_size = 256
 
         # Cluster-balanced sampling (ref config data.cluster_file /
         # num_clusters): examples weighted 1/cluster_size so large sequence
@@ -100,9 +108,13 @@ class TrainDataset:
         # output would freeze one chain/window per structure for the whole
         # run (the reference re-featurizes per __getitem__). Featurization
         # is cheap and overlapped by the prefetch thread.
-        if idx not in self._cache:
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+        else:
             with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
                 self._cache[idx] = pickle.load(f)
+            if len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
         return feature_lib.build_model_features(
             self._cache[idx],
             extract_single_chain=self.cfg.data.single_chain,
@@ -176,13 +188,28 @@ def train(cfg: Config) -> None:
     from framedipt_tpu.experiments.utils import setup_compilation_cache
 
     setup_compilation_cache(cfg, logger)
-    if cfg.experiment.use_ckpt_conf and cfg.experiment.resume_ckpt_dir:
+
+    # Sweep-job run-dir separation (hydra.job.num equivalent, tools/sweep.py):
+    # without it concurrent sweep jobs would share one ckpt_dir (and
+    # eval_dir) and even cross-resume each other's checkpoints via the
+    # auto-resume below.
+    run_name = cfg.experiment.name
+    job_num = os.environ.get("FRAMEDIPT_JOB_NUM")
+    if job_num is not None:
+        run_name = f"{run_name}_job{job_num}" if run_name else f"job{job_num}"
+    ckpt_dir = pathlib.Path(cfg.experiment.ckpt_dir) / run_name
+    resume = cfg.experiment.resume_ckpt_dir or (
+        str(ckpt_dir) if latest_checkpoint(ckpt_dir) else None
+    )
+
+    if cfg.experiment.use_ckpt_conf and resume:
         # Warm-start config precedence (ref base.yaml:116 use_ckpt_conf +
         # inference.py:131-136 semantics): the checkpoint's model/diffuser
         # sections override the runtime config so the restored weights
-        # always meet the architecture they were trained with. Experiment/
-        # data sections stay runtime-controlled.
-        ckpt = latest_checkpoint(cfg.experiment.resume_ckpt_dir)
+        # always meet the architecture they were trained with — for BOTH
+        # resume paths (explicit resume_ckpt_dir and auto-resume from the
+        # run's own ckpt_dir). Experiment/data stay runtime-controlled.
+        ckpt = latest_checkpoint(resume)
         if ckpt is not None and (ckpt / "config.yaml").exists():
             saved_cfg = load_config(str(ckpt / "config.yaml"))
             cfg.model = saved_cfg.model
@@ -210,17 +237,6 @@ def train(cfg: Config) -> None:
     example = next(iter(dataset.batches(2)))
     state = init_train_state(model, optimizer, example, jax.random.PRNGKey(seed))
 
-    # Sweep-job run-dir separation (hydra.job.num equivalent, tools/sweep.py):
-    # without it concurrent sweep jobs would share one ckpt_dir and even
-    # cross-resume each other's checkpoints via the auto-resume below.
-    run_name = cfg.experiment.name
-    job_num = os.environ.get("FRAMEDIPT_JOB_NUM")
-    if job_num is not None:
-        run_name = f"{run_name}_job{job_num}" if run_name else f"job{job_num}"
-    ckpt_dir = pathlib.Path(cfg.experiment.ckpt_dir) / run_name
-    resume = cfg.experiment.resume_ckpt_dir or (
-        str(ckpt_dir) if latest_checkpoint(ckpt_dir) else None
-    )
     if resume and latest_checkpoint(resume):
         # Restore against a fully-structured target (incl. the epoch field)
         # so optax state keeps its pytree structure.
@@ -343,6 +359,8 @@ def train(cfg: Config) -> None:
                         run_training_eval(
                             eval_run, diffuser, cfg, state.params, step,
                             k_eval,
+                            out_dir=pathlib.Path(cfg.experiment.eval_dir)
+                            / run_name,
                         ),
                     )
     save_checkpoint(ckpt_dir, step, state.params, state.opt_state, cfg)

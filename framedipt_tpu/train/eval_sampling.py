@@ -45,19 +45,27 @@ def build_eval_sampler(
     model: Any, diffuser: SE3Diffuser, cfg: Config
 ) -> Callable:
     """The unconditional reverse sampler used for periodic eval. One jitted
-    program per length bucket; no aux trajectories (cheap)."""
+    program per length bucket; no aux trajectories (cheap).
+
+    ``inpainting`` must match the trained module: an inpainting model's
+    embedder consumes the aatype one-hot channels, so the eval features
+    carry an all-UNK aatype (below) and the sampler must not drop it."""
     return build_inference_fn(
         model,
         diffuser,
         num_t=cfg.data.num_t,
         min_t=cfg.data.min_t,
         aux_traj=False,
-        inpainting=False,
+        inpainting=cfg.experiment.inpainting,
     )
 
 
 def _batched_unconditional_feats(
-    diffuser: SE3Diffuser, key: jax.Array, length: int, batch: int
+    diffuser: SE3Diffuser,
+    key: jax.Array,
+    length: int,
+    batch: int,
+    inpainting: bool,
 ) -> dict[str, np.ndarray]:
     """Stationary-init features for ``batch`` samples of ``length`` residues,
     padded to the static length bucket (res_mask zero beyond ``length``)."""
@@ -67,7 +75,7 @@ def _batched_unconditional_feats(
     )
     res_mask = np.zeros((batch, padded), np.float32)
     res_mask[:, :length] = 1.0
-    return {
+    feats = {
         "rigids_t": np.asarray(rigids, np.float32),
         "res_mask": res_mask,
         "fixed_mask": np.zeros((batch, padded), np.float32),
@@ -75,6 +83,12 @@ def _batched_unconditional_feats(
         "sc_ca_t": np.zeros((batch, padded, 3), np.float32),
         "torsion_angles_sin_cos": np.zeros((batch, padded, 7, 2), np.float32),
     }
+    if inpainting:
+        # Inpainting models embed aatype; everything is diffused here, so
+        # every residue is UNK (20) — the same value preprocess_aatype
+        # assigns to diffused regions.
+        feats["aatype"] = np.full((batch, padded), 20, np.int32)
+    return feats
 
 
 def run_training_eval(
@@ -84,24 +98,41 @@ def run_training_eval(
     params: Any,
     step: int,
     key: jax.Array,
+    out_dir: str | pathlib.Path | None = None,
 ) -> dict[str, float]:
     """Sample ``samples_per_eval_length`` backbones at each eval length with
-    the current params, write PDBs under ``eval_dir/step_<step>/`` and return
+    the current params, write PDBs under ``<out_dir>/step_<step>/`` and return
     aggregate plausibility metrics (CA-CA bond deviation/validity, clash
-    fraction, secondary-structure composition, radius of gyration)."""
-    out_root = pathlib.Path(cfg.experiment.eval_dir) / f"step_{step}"
-    batch = int(cfg.data.samples_per_eval_length)
+    fraction, secondary-structure composition, radius of gyration).
+
+    ``out_dir`` defaults to ``cfg.experiment.eval_dir``; the train loop
+    passes ``eval_dir/<run_name>`` so concurrent sweep jobs (same
+    ``hydra.job.num`` hazard as ckpt_dir) never interleave samples in one
+    step directory."""
+    out_root = (
+        pathlib.Path(out_dir if out_dir is not None else cfg.experiment.eval_dir)
+        / f"step_{step}"
+    )
+    total = int(cfg.data.samples_per_eval_length)
+    # Sampling runs in uniform chunks of eval_batch_size (one compiled shape
+    # per bucket) so raising samples_per_eval_length cannot OOM the device.
+    chunk = max(1, min(total, int(cfg.experiment.eval_batch_size)))
     rows: list[dict[str, float]] = []
     for length in eval_lengths(cfg):
-        key, k_init, k_run = jax.random.split(key, 3)
-        feats = _batched_unconditional_feats(diffuser, k_init, length, batch)
-        out = run(params, feats, k_run)
-        # prot_traj is flipped to start at t=0: index 0 = final structure.
-        atom37 = np.asarray(out["prot_traj"][0], np.float32)[:, :length]
+        samples: list[np.ndarray] = []
+        while len(samples) < total:
+            key, k_init, k_run = jax.random.split(key, 3)
+            feats = _batched_unconditional_feats(
+                diffuser, k_init, length, chunk,
+                inpainting=cfg.experiment.inpainting,
+            )
+            out = run(params, feats, k_run)
+            # prot_traj starts at t=0 after the flip: index 0 = final.
+            atom37 = np.asarray(out["prot_traj"][0], np.float32)[:, :length]
+            samples.extend(atom37[: total - len(samples)])
         length_dir = out_root / f"length_{length}"
         length_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(batch):
-            pos = atom37[i]
+        for i, pos in enumerate(samples):
             mask37 = np.any(pos != 0.0, axis=-1)
             write_prot_to_pdb(pos, length_dir / f"sample_{i}", no_indexing=False)
             ca = pos[:, 1]

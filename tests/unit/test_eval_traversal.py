@@ -73,6 +73,15 @@ def test_row_attribution_survives_missing_sample(tmp_path):
     by_idx = df.set_index("sample_idx")["backbone_rmsd"]
     np.testing.assert_allclose(by_idx.loc[1], 4.0 / 3, atol=2e-3)
     np.testing.assert_allclose(by_idx.loc[2], 2.0, atol=2e-3)
+    # Strategy CSVs' selected_sample uses the same directory-index scheme:
+    # with samples {1,2} no strategy may claim the deleted sample_0.
+    import pandas as pd
+
+    for strategy in ("mean_closest", "median_closest"):
+        sdf = pd.read_csv(
+            run_dir / "evaluation" / f"eval_metrics_{strategy}.csv"
+        )
+        assert int(sdf.iloc[0]["selected_sample"]) in (1, 2)
 
 
 def test_reindex_prediction_dir(tmp_path):

@@ -279,11 +279,16 @@ def test_training_eval_sampling(tmp_path):
     cfg.data.num_eval_lengths = 2
     cfg.data.samples_per_eval_length = 2
     cfg.experiment.eval_dir = str(tmp_path / "eval")
+    # Inpainting model: its embedder consumes aatype, so the eval feats must
+    # carry the all-UNK aatype or the first eval boundary crashes mid-run.
+    cfg.experiment.inpainting = True
+    # Chunked sampling: 2 samples in chunks of 1 (eval_batch_size bound).
+    cfg.experiment.eval_batch_size = 1
 
     assert eval_lengths(cfg) == [8, 20]
 
     diffuser = SE3Diffuser(cfg.diffuser)
-    model = ScoreNetwork(cfg.model, diffuser, inpainting=False)
+    model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
     batch = make_batch()
     state = init_train_state(
         model, make_optimizer(), batch, jax.random.PRNGKey(0)
