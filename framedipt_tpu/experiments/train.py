@@ -68,14 +68,17 @@ class TrainDataset:
             meta = meta.iloc[: filt.subset]
         self.meta = meta.reset_index(drop=True)
         logger.info(f"dataset: {len(self.meta)} structures after filters")
-        # LRU over RAW structure pickles (full complexes, much larger than
-        # the cropped features) — an unbounded per-idx cache would grow to
-        # the whole dataset's uncropped size over one epoch. The reference
-        # bounds its equivalent with lru_cache (data/utils.py:744).
+        # LRU over FEATURIZED (cropped) examples, mirroring the reference's
+        # lru_cache(maxsize=50000) on process_csv_row (data/utils.py:744):
+        # the rng object is part of that cache key, so upstream the random
+        # chain pick / crop is FROZEN after the first featurization of a
+        # structure and repeat epochs hit the cache. Entries here are
+        # <= chain_max_len cropped features, far smaller than raw complex
+        # pickles; the bound caps memory on huge datasets.
         self._cache: "collections.OrderedDict[int, dict]" = (
             collections.OrderedDict()
         )
-        self._cache_size = 256
+        self._cache_size = 50_000
 
         # Cluster-balanced sampling (ref config data.cluster_file /
         # num_clusters): examples weighted 1/cluster_size so large sequence
@@ -103,24 +106,27 @@ class TrainDataset:
             )
 
     def _features(self, idx: int) -> dict:
-        # Cache the pickle IO only: build_model_features draws the random
-        # single-chain pick and chain crop from rng, and memoizing its
-        # output would freeze one chain/window per structure for the whole
-        # run (the reference re-featurizes per __getitem__). Featurization
-        # is cheap and overlapped by the prefetch thread.
+        # Featurized output is cached per structure: the random chain pick
+        # and crop are drawn once and frozen for the run, exactly as in the
+        # reference (rng is part of process_csv_row's lru_cache key, so its
+        # cache hit returns the same crop every epoch). A cache miss after
+        # eviction re-rolls — batches() buckets by each example's ACTUAL
+        # length, so a re-rolled length cannot break the static padding.
         if idx in self._cache:
             self._cache.move_to_end(idx)
-        else:
-            with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
-                self._cache[idx] = pickle.load(f)
-            if len(self._cache) > self._cache_size:
-                self._cache.popitem(last=False)
-        return feature_lib.build_model_features(
-            self._cache[idx],
+            return self._cache[idx]
+        with open(self.meta.iloc[idx]["processed_path"], "rb") as f:
+            raw = pickle.load(f)
+        feats = feature_lib.build_model_features(
+            raw,
             extract_single_chain=self.cfg.data.single_chain,
             rng=self.rng,
             chain_max_len=self.cfg.data.filtering.chain_max_len,
         )
+        self._cache[idx] = feats
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return feats
 
     def example(self, idx: int) -> dict:
         feats = dict(self._features(idx))
@@ -141,11 +147,12 @@ class TrainDataset:
         """Yield stacked batches of same-bucket examples each epoch.
 
         Examples are featurized FIRST and bucketed by their actual length:
-        with single-chain extraction the drawn chain (and so the length)
-        is re-rolled every epoch, so a precomputed per-idx length could
-        undershoot a later draw and break the static bucket padding.
-        Bucketing by the metadata's modeled_seq_len would instead pad every
-        batch to the full complex size.
+        with single-chain extraction the featurized length is the drawn
+        chain's (frozen by the feature cache, but re-rolled if the LRU
+        evicts), so a length derived from metadata or from a previous draw
+        could mismatch and break the static bucket padding. Bucketing by
+        the metadata's modeled_seq_len would instead pad every batch to
+        the full complex size.
         """
         if self.sample_weights is not None:
             order = self.rng.choice(

@@ -67,6 +67,10 @@ def test_serve_inpaint_roundtrip(tmp_path):
     sock.close()
 
     env = dict(os.environ)
+    # JAX_PLATFORMS alone is not enough: the axon sitecustomize overrides it
+    # via jax.config, and when the TPU tunnel is wedged the child then hangs
+    # at backend registration. Unset the gate so the plugin never loads.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_comp_cache_cpu"
     log = open(tmp_path / "serve.log", "w")

@@ -95,8 +95,14 @@ def test_smoke_train_loss_ckpt_sample(preprocessed, tmp_path):
     rows = [json.loads(x) for x in metrics_path.read_text().splitlines()]
     losses = [r["loss"] for r in rows]
     assert len(losses) >= 10
-    first = np.mean(losses[:3])
-    last = np.mean(losses[-3:])
+    # Median over thirds: each log point's loss is dominated by that
+    # batch's random t draw (small-t batches carry the x0 + auxiliary
+    # terms, which are an order of magnitude larger than score losses),
+    # so a 3-point mean is a lottery over t. Medians of the first/last
+    # thirds measure the trend the test is actually about.
+    k = max(3, len(losses) // 3)
+    first = np.median(losses[:k])
+    last = np.median(losses[-k:])
     assert last < first, f"loss did not decrease: {first:.3f} -> {last:.3f}"
 
     # Sample from the trained checkpoint via the real inference CLI.

@@ -224,8 +224,8 @@ def test_dist_mat_loss_normalized_by_local_pairs():
 
 def test_batches_bucket_by_rerolled_length():
     """batches() must featurize first and bucket by the ACTUAL drawn length:
-    with single-chain extraction the chain is re-rolled per epoch, so a
-    cached per-idx length can undershoot a later draw."""
+    a cache-evicted example re-rolls its single-chain draw, so a length
+    remembered from a previous epoch can undershoot the new draw."""
     from framedipt_tpu.data import features as feature_lib
     from framedipt_tpu.experiments.train import _BATCH_KEYS, TrainDataset
 
