@@ -88,5 +88,76 @@ def test_conditional_inference_filesystem_contract(tmp_path):
     np.testing.assert_allclose(ca_sample, ca_gt, atol=2e-2)
 
 
+@pytest.mark.slow
+def test_denovo_chain_end_to_end(tmp_path, monkeypatch):
+    """De novo pipeline as ONE chain (ref experiments/inference.py:192,
+    625-706 + evaluation/eval_denovo.py): unconditional sampling ->
+    ProteinMPNN (mock repo, reference flag contract) -> ESMFold refold
+    (monkeypatched to a synthetic backbone) -> sc_results.csv ->
+    denovo_eval producing SS composition, diversity, and designability
+    from those artifacts."""
+    from framedipt_tpu.analysis.utils import write_prot_to_pdb
+    from framedipt_tpu.eval import denovo_eval
+    from framedipt_tpu.tools import external
+    from tests.unit.geom_helpers import nerf_backbone
+
+    n = 32
+    cfg = tiny_inference_cfg(tmp_path)
+    cfg.inference.inpainting = False
+    s = cfg.inference.samples
+    s.min_length = n
+    s.max_length = n
+    s.length_step = 1
+    s.samples_per_length = 2
+    s.seq_per_sample = 1
+
+    # Mock ProteinMPNN repo: honors the adapter's CLI contract, emits one
+    # n-residue sequence per target.
+    repo = tmp_path / "mpnn"
+    (repo / "helper_scripts").mkdir(parents=True)
+    (repo / "helper_scripts" / "parse_multiple_chains.py").write_text(
+        "import sys, pathlib\n"
+        "args = dict(a.split('=', 1) for a in sys.argv[1:])\n"
+        "pathlib.Path(args['--output_path']).write_text('{}')\n"
+    )
+    (repo / "protein_mpnn_run.py").write_text(
+        "import sys, pathlib\n"
+        "argv = sys.argv[1:]\n"
+        "out = pathlib.Path(argv[argv.index('--out_folder') + 1])\n"
+        "(out / 'seqs').mkdir(parents=True, exist_ok=True)\n"
+        f"(out / 'seqs' / 'design.fa').write_text('>d\\n' + 'A' * {n} + '\\n')\n"
+    )
+    cfg.inference.pmpnn_dir = str(repo)
+
+    # Mock ESMFold: deterministic synthetic n-residue backbone.
+    atom37, mask37 = nerf_backbone(n)
+    refold_path = write_prot_to_pdb(
+        atom37 * mask37[..., None], tmp_path / "refold", no_indexing=False
+    )
+    refold_text = refold_path.read_text()
+    monkeypatch.setattr(external, "esmfold_predict", lambda seq: refold_text)
+
+    inference = Inference(cfg, cif_dir=tmp_path / "unused_cifs")
+    inference.run_sampling()
+    out = inference.output_dir
+
+    samples = sorted(out.glob(f"length_{n}/sample_*/sample_*_1.pdb"))
+    assert len(samples) == 2, samples
+    sc_csvs = sorted(out.glob(f"length_{n}/sample_*/self_consistency/sc_results.csv"))
+    assert len(sc_csvs) == 2, "self-consistency did not run for every sample"
+    sc = pd.read_csv(sc_csvs[0])
+    assert {"sequence", "rmsd", "tm_score"} <= set(sc.columns)
+    assert np.isfinite(sc["tm_score"]).all()
+
+    results = denovo_eval.run(out, diversity_backend="scipy")
+    eval_dir = out / "evaluation"
+    assert (eval_dir / "ss_composition.csv").exists()
+    assert (eval_dir / "designability.csv").exists()
+    assert results["num_samples"] == 2
+    assert 0.0 < results["diversity"] <= 1.0
+    assert 0.0 <= results["designable_fraction"] <= 1.0
+    assert np.isfinite(results["best_sc_rmsd_mean"])
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
