@@ -12,7 +12,12 @@ import re
 
 import numpy as np
 
-from framedipt_tpu.data.protein import Protein, prots_to_pdb, to_pdb
+from framedipt_tpu.data.protein import (
+    Protein,
+    format_models_native,
+    prots_to_pdb,
+    to_pdb,
+)
 from framedipt_tpu.geometry import quat as quat_ops
 
 ATOM_MASK_EPS = 1e-7
@@ -77,7 +82,19 @@ def write_prot_to_pdb(
 
     pos = np.asarray(prot_pos)
     save_path.parent.mkdir(parents=True, exist_ok=True)
-    if pos.ndim == 3:
+    n = pos.shape[-3]
+    text = format_models_native(
+        pos[None] if pos.ndim == 3 else pos,
+        np.zeros(n, np.int64) if aatype is None else np.asarray(aatype),
+        np.arange(1, n + 1) if residue_index is None else np.asarray(residue_index),
+        np.zeros(n, np.int64) if chain_index is None else np.asarray(chain_index),
+        np.zeros((n, 37)) if b_factors is None else np.asarray(b_factors),
+    )
+    if text is not None:
+        # Native fast path: trajectory serialization is the host-side hot
+        # spot of the sampling pipeline (see native/pdb_writer.cpp).
+        save_path.write_text(text + "END\n")
+    elif pos.ndim == 3:
         prot = _as_protein(pos, aatype, b_factors, residue_index, chain_index)
         save_path.write_text(to_pdb(prot))
     else:

@@ -209,3 +209,46 @@ def prots_to_pdb(prots: list[Protein]) -> str:
     framedipt/analysis/utils.py:128-156)."""
     parts = [to_pdb(p, model=i + 1, add_end=False) for i, p in enumerate(prots)]
     return "".join(parts) + "END\n"
+
+
+def format_models_native(
+    pos4: np.ndarray,  # [T, N, 37, 3]
+    aatype: np.ndarray,
+    residue_index: np.ndarray,
+    chain_index: np.ndarray,
+    b_factors: np.ndarray,  # [N, 37]
+    start_model: int = 1,
+) -> str | None:
+    """All MODEL blocks of a trajectory via the native formatter, or None
+    when the extension is unavailable (callers fall back to
+    ``to_pdb``/``prots_to_pdb``; output is byte-identical, tested in
+    tests/unit/test_native_pdb.py). Atom presence is derived per frame
+    from the positions exactly as analysis/utils._as_protein does."""
+    from framedipt_tpu import native as native_lib
+
+    mod = native_lib.load_pdb_native()
+    if mod is None:
+        return None
+    pos4 = np.ascontiguousarray(pos4, np.float64)
+    t, n = pos4.shape[0], pos4.shape[1]
+    res3 = b"".join(_res3(int(a)).encode("ascii") for a in aatype)
+    sorted_chains = sorted(set(int(c) for c in chain_index))
+    chains = bytes(
+        ord(_chain_letter(int(c), sorted_chains)) for c in chain_index
+    )
+    atom_fields = "".join(
+        f" {a:<3}" if len(a) < 4 else a for a in rc.atom_types
+    ).encode("ascii")
+    elem_fields = "".join(f"{a[0]:>2}" for a in rc.atom_types).encode("ascii")
+    return mod.format_models(
+        pos4,
+        t,
+        n,
+        res3,
+        np.ascontiguousarray(residue_index, np.int64),
+        chains,
+        np.ascontiguousarray(b_factors, np.float64),
+        atom_fields,
+        elem_fields,
+        start_model,
+    )

@@ -93,3 +93,8 @@ def _load(name: str, source: str) -> object | None:
 def load_cif_native() -> object | None:
     """The `_cif_native` extension module, or None if unavailable."""
     return _load("_cif_native", "cif_tokenizer.cpp")
+
+
+def load_pdb_native() -> object | None:
+    """The `_pdb_native` extension module, or None if unavailable."""
+    return _load("_pdb_native", "pdb_writer.cpp")
