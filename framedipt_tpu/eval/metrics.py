@@ -232,16 +232,19 @@ def _atom_arrays(prot: Protein):
 
 
 def shrake_rupley_sasa(
-    prot: Protein, n_points: int = 100, chunk: int = 256
+    prot: Protein, n_points: int = 100, chunk: int = 1024
 ) -> np.ndarray:
     """Per-residue solvent-accessible surface area (A^2).
 
-    Vectorized Shrake-Rupley: the test-sphere burial check runs in blocks of
-    ``chunk`` atoms against only their true neighbours (pairwise-radius
-    cutoff), so the inner O(atoms x points x atoms) tensor never
-    materializes. ~100x faster than a per-atom Python loop on a 500-residue
-    complex (role of BioPython's C-backed SASA in the reference,
-    evaluation/utils/metrics.py:419-718).
+    Vectorized Shrake-Rupley, memory-bounded: neighbour discovery and the
+    test-sphere burial check both run in blocks of ~``chunk`` atoms, so no
+    [A, A] matrix or full [nnz, P] burial tensor ever materializes (at a
+    6.5k-atom TCR complex those peaked near 600 MB of temporaries and made
+    wall time swing 1.5-40 s with allocator pressure; chunked it is a
+    stable ~1 s). Identical math/results to the dense form — golden-tested
+    against analytic sphere/cap values (tests/unit/test_sasa_golden.py).
+    Role of BioPython's Shrake-Rupley in the reference
+    (evaluation/utils/metrics.py:419-718).
     """
     coords, radii, res_ids = _atom_arrays(prot)
     coords = (coords - coords.mean(axis=0)).astype(np.float32)
@@ -249,44 +252,62 @@ def shrake_rupley_sasa(
     sphere = _sphere_points(n_points).astype(np.float32)
     n_atoms = len(coords)
 
-    # Pairwise neighbour test: j can bury i's surface iff
+    # Pairwise neighbour test in row blocks: j can bury i's surface iff
     # |x_j - x_i| < r_i + r_j (r includes the probe). GEMM-form squared
-    # distances (|x|^2 + |y|^2 - 2 x.y) — no [A, A, 3] temporary.
+    # distances (|x|^2 + |y|^2 - 2 x.y) — no [A, A, 3] temporary, and only
+    # a [block, A] slab at a time.
     sq = np.sum(coords**2, axis=-1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (coords @ coords.T)
-    cut2 = (radii[:, None] + radii[None, :]) ** 2
-    neigh_mat = d2 < cut2
-    np.fill_diagonal(neigh_mat, False)
+    rows_parts, cols_parts = [], []
+    for s in range(0, n_atoms, chunk):
+        e = min(s + chunk, n_atoms)
+        d2 = sq[s:e, None] + sq[None, :] - 2.0 * (coords[s:e] @ coords.T)
+        neigh = d2 < (radii[s:e, None] + radii[None, :]) ** 2
+        neigh[np.arange(e - s), np.arange(s, e)] = False  # self
+        r_b, c_b = np.nonzero(neigh)
+        rows_parts.append(r_b + s)
+        cols_parts.append(c_b)
+    rows = np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)
+    degree = np.bincount(rows, minlength=n_atoms)
 
     # Analytic burial test per neighbour pair. A surface point
     # p_k = x_i + r_i s_k of atom i is buried by neighbour j iff
     #   |p_k - x_j|^2 = r_i^2 + 2 r_i s_k.(x_i - x_j) + |x_i - x_j|^2 < r_j^2
     #   <=>  s_k . v_ij < (r_j^2 - r_i^2 - |v_ij|^2) / (2 r_i),
-    # so the whole structure's burial matrix is ONE [P,3]x[3,nnz] GEMM
-    # against a per-pair scalar threshold, then a segmented OR over each
-    # atom's pair range (rows from np.nonzero are already sorted).
-    rows, cols = np.nonzero(neigh_mat)
-    v = coords[rows] - coords[cols]  # exact subtraction: no cancellation
-    vsq = np.sum(v * v, axis=-1)
-    thresh = (radii[cols] ** 2 - radii[rows] ** 2 - vsq) / (2.0 * radii[rows])
-    # s_k . v_ij as three outer-product terms (a K=3 GEMM is BLAS-hostile).
-    dots = (
-        v[:, 0, None] * sphere[None, :, 0]
-        + v[:, 1, None] * sphere[None, :, 1]
-        + v[:, 2, None] * sphere[None, :, 2]
-    )  # [nnz, P]
-    buried_pairs = dots < thresh[:, None]
-
-    # Segmented OR: reduceat over each atom's contiguous pair range. Guard
-    # degree-0 atoms (reduceat misreads empty segments) with a False pad.
-    degree = neigh_mat.sum(axis=1)
-    starts = np.searchsorted(rows, np.arange(n_atoms))
-    padded = np.concatenate(
-        [buried_pairs, np.zeros((1, n_points), bool)], axis=0
-    )
-    buried_ik = np.logical_or.reduceat(
-        padded, np.minimum(starts, padded.shape[0] - 1), axis=0
-    )  # [A, P]
+    # i.e. a [P,3]x[3,pairs] GEMM against a per-pair scalar threshold, then
+    # a segmented OR over each atom's contiguous pair range (rows are
+    # sorted by construction). Processed in atom-aligned pair chunks so the
+    # burial slab stays ~pair_cap x P.
+    starts = np.searchsorted(rows, np.arange(n_atoms + 1))
+    buried_ik = np.zeros((n_atoms, n_points), bool)
+    pair_cap = max(1, chunk) * 64  # ~64 neighbours/atom per slab
+    a0 = 0
+    while a0 < n_atoms:
+        a1 = a0 + 1
+        while a1 < n_atoms and starts[a1 + 1] - starts[a0] <= pair_cap:
+            a1 += 1
+        p0, p1 = starts[a0], starts[a1]
+        if p1 > p0:
+            r_sl, c_sl = rows[p0:p1], cols[p0:p1]
+            v = coords[r_sl] - coords[c_sl]  # exact: no cancellation
+            vsq = np.sum(v * v, axis=-1)
+            thresh = (radii[c_sl] ** 2 - radii[r_sl] ** 2 - vsq) / (
+                2.0 * radii[r_sl]
+            )
+            # s_k . v_ij as three outer products (K=3 GEMM is BLAS-hostile).
+            dots = (
+                v[:, 0, None] * sphere[None, :, 0]
+                + v[:, 1, None] * sphere[None, :, 1]
+                + v[:, 2, None] * sphere[None, :, 2]
+            )  # [pairs, P]
+            buried_pairs = dots < thresh[:, None]
+            # Guard degree-0 atoms (reduceat misreads empty segments).
+            padded = np.concatenate(
+                [buried_pairs, np.zeros((1, n_points), bool)], axis=0
+            )
+            local = np.minimum(starts[a0:a1] - p0, padded.shape[0] - 1)
+            buried_ik[a0:a1] = np.logical_or.reduceat(padded, local, axis=0)
+        a0 = a1
     buried_ik[degree == 0] = False
     accessible_frac = 1.0 - buried_ik.mean(axis=1)
     areas = 4.0 * np.pi * radii**2 * accessible_frac
