@@ -78,6 +78,55 @@ class InpaintingService:
             )
         self._run_cache: dict[int, object] = {}
         self._req_count = 0
+        self._warmed: list[dict] = []
+
+    def warmup(
+        self, buckets: list[int], samples: int = 1, num_t: int = 100
+    ) -> None:
+        """Pre-compile the sampler for (bucket, samples, num_t) shapes so
+        the first real request is served from a warm program — a cold
+        compile costs 20-40 s on TPU. The synthetic case mirrors the
+        request path's feature pytree exactly (same keys/dtypes), so the
+        jit cache hit is guaranteed for matching request shapes."""
+        for bucket in buckets:
+            n = bucket
+            diffused = np.zeros(n, np.float32)
+            diffused[: max(1, n // 8)] = 1.0
+            rigids_t = np.asarray(
+                self.diffuser.sample_ref(
+                    jax.random.PRNGKey(0), n_samples=n
+                ).to_tensor7(),
+                np.float32,
+            )
+            base = {
+                "res_mask": np.ones(n, np.float32),
+                "fixed_mask": (1.0 - diffused).astype(np.float32),
+                "seq_idx": np.arange(n, dtype=np.int64),
+                "sc_ca_t": np.zeros((n, 3), np.float32),
+                "torsion_angles_sin_cos": np.zeros((n, 7, 2), np.float32),
+                "aatype": np.zeros(n, np.int64),
+                "rigids_t": rigids_t,
+                "t": np.asarray(1.0, np.float32),
+            }
+            batched = {
+                k: np.stack([v] * samples) for k, v in base.items()
+            }
+            feats = {k: jnp.asarray(v) for k, v in batched.items()}
+            feats["aatype"] = feats["aatype"].astype(jnp.int32)
+            self._ensure_params(feats)
+            t0 = time.perf_counter()
+            out = self._runner(num_t)(
+                self._params, feats, jax.random.PRNGKey(1)
+            )
+            np.asarray(out["prot_traj"][0])  # force execution
+            took = time.perf_counter() - t0
+            self._warmed.append(
+                {"bucket": bucket, "samples": samples, "num_t": num_t}
+            )
+            logger.info(
+                f"warmed bucket {bucket} (S={samples}, num_t={num_t}) "
+                f"in {took:.1f}s"
+            )
 
     def _ensure_params(self, example_feats) -> None:
         if self._params is None:
@@ -203,7 +252,9 @@ def make_handler(service: InpaintingService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok"})
+                self._json(
+                    200, {"status": "ok", "warmed": service._warmed}
+                )
             else:
                 self._json(404, {"error": "not found"})
 
@@ -238,11 +289,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8900)
     ap.add_argument("--weights", default="")
+    ap.add_argument(
+        "--warmup",
+        default="",
+        help="comma-separated length buckets to pre-compile before "
+        "binding the port (e.g. 256,512); requests with other "
+        "(bucket, samples, num_t) shapes still compile on first hit",
+    )
+    ap.add_argument("--warmup_samples", type=int, default=1)
+    ap.add_argument("--warmup_num_t", type=int, default=100)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
     cfg = load_config(None, args.overrides)
     cfg.inference.weights_path = args.weights
     service = InpaintingService(cfg)
+    if args.warmup:
+        service.warmup(
+            [int(b) for b in args.warmup.split(",") if b],
+            samples=args.warmup_samples,
+            num_t=args.warmup_num_t,
+        )
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(service))
     logger.info(f"serving on http://127.0.0.1:{args.port}")
     server.serve_forever()

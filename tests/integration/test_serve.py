@@ -77,7 +77,11 @@ def test_serve_inpaint_roundtrip(tmp_path):
     proc = subprocess.Popen(
         [
             sys.executable, "-m", "framedipt_tpu.experiments.serve",
-            f"--port={port}", *TINY_OVERRIDES,
+            f"--port={port}",
+            # Pre-compile the exact (bucket=64, S=2, num_t=2) program the
+            # request below uses, so it must be served from the warm cache.
+            "--warmup=64", "--warmup_samples=2", "--warmup_num_t=2",
+            *TINY_OVERRIDES,
         ],
         cwd=str(REPO), env=env, stdout=log, stderr=log,
     )
@@ -87,7 +91,13 @@ def test_serve_inpaint_roundtrip(tmp_path):
         while True:
             try:
                 with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
-                    assert json.load(r)["status"] == "ok"
+                    health = json.load(r)
+                    assert health["status"] == "ok"
+                # The port binds only after warmup, so /healthz already
+                # reports the pre-compiled program.
+                assert health["warmed"] == [
+                    {"bucket": 64, "samples": 2, "num_t": 2}
+                ]
                 break
             except Exception:  # noqa: BLE001
                 if proc.poll() is not None:
