@@ -233,6 +233,10 @@ def format_models_native(
     t, n = pos4.shape[0], pos4.shape[1]
     res3 = b"".join(_res3(int(a)).encode("ascii") for a in aatype)
     sorted_chains = sorted(set(int(c) for c in chain_index))
+    if len(sorted_chains) > PDB_MAX_CHAINS:
+        # Same guard Protein.__post_init__ applies on the Python path —
+        # _chain_letter would otherwise silently alias chains modulo 62.
+        raise ValueError(f"Cannot handle more than {PDB_MAX_CHAINS} chains.")
     chains = bytes(
         ord(_chain_letter(int(c), sorted_chains)) for c in chain_index
     )

@@ -41,6 +41,12 @@ from framedipt_tpu.train.losses import t_stratified_metrics
 
 logger = get_logger()
 
+def _feats_nbytes(feats: dict) -> int:
+    return sum(
+        v.nbytes for v in feats.values() if isinstance(v, np.ndarray)
+    )
+
+
 _BATCH_KEYS = (
     "rigids_0",
     "res_mask",
@@ -70,15 +76,20 @@ class TrainDataset:
         logger.info(f"dataset: {len(self.meta)} structures after filters")
         # LRU over FEATURIZED (cropped) examples, mirroring the reference's
         # lru_cache(maxsize=50000) on process_csv_row (data/utils.py:744):
-        # the rng object is part of that cache key, so upstream the random
-        # chain pick / crop is FROZEN after the first featurization of a
-        # structure and repeat epochs hit the cache. Entries here are
-        # <= chain_max_len cropped features, far smaller than raw complex
-        # pickles; the bound caps memory on huge datasets.
+        # the rng object is part of that cache key (one Generator instance
+        # for the sampler's lifetime, experiments/sampler.py:305-310), so
+        # upstream the random chain pick / crop is FROZEN after the first
+        # featurization of a structure and repeat epochs hit the cache.
+        # Bounded in BYTES, not entries: a chain_max_len=512 example is
+        # ~1 MB of arrays, so an entry count is no memory cap — evict LRU
+        # past ~4 GiB (a 30k-structure PDB set mostly fits; beyond it the
+        # coldest tail re-featurizes, re-rolling its crop, which batches()
+        # tolerates by bucketing on actual lengths).
         self._cache: "collections.OrderedDict[int, dict]" = (
             collections.OrderedDict()
         )
-        self._cache_size = 50_000
+        self._cache_bytes = 0
+        self._cache_budget = 4 << 30
 
         # Cluster-balanced sampling (ref config data.cluster_file /
         # num_clusters): examples weighted 1/cluster_size so large sequence
@@ -124,8 +135,10 @@ class TrainDataset:
             chain_max_len=self.cfg.data.filtering.chain_max_len,
         )
         self._cache[idx] = feats
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
+        self._cache_bytes += _feats_nbytes(feats)
+        while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
+            _, evicted = self._cache.popitem(last=False)
+            self._cache_bytes -= _feats_nbytes(evicted)
         return feats
 
     def example(self, idx: int) -> dict:

@@ -26,9 +26,11 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <clocale>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <locale.h>
 #include <string>
 
 namespace {
@@ -91,6 +93,17 @@ PyObject* format_models(PyObject*, PyObject* args) {
   out.reserve(static_cast<size_t>(t) *
               (static_cast<size_t>(n) * kNumAtoms * 82 + 64));
 
+  // The loop below only touches borrowed buffers and the std::string, so
+  // run it without the GIL (serve.py formats trajectories from
+  // ThreadingHTTPServer handler threads). %f is LC_NUMERIC-dependent while
+  // Python's float formatting is not — pin the C locale for this thread so
+  // a comma-decimal host locale cannot break the byte-identical contract.
+  PyThreadState* tstate = PyEval_SaveThread();
+  locale_t c_loc = newlocale(LC_NUMERIC_MASK, "C", static_cast<locale_t>(0));
+  locale_t old_loc =
+      c_loc != static_cast<locale_t>(0) ? uselocale(c_loc)
+                                        : static_cast<locale_t>(0);
+
   for (Py_ssize_t frame = 0; frame < t; ++frame) {
     const double* fpos = pos + frame * n * kNumAtoms * 3;
     appendf(out, "MODEL     %4d\n", start_model + static_cast<int>(frame));
@@ -107,9 +120,13 @@ PyObject* format_models(PyObject*, PyObject* args) {
       last_chain = chain;
       for (int ai = 0; ai < kNumAtoms; ++ai) {
         const double* p = fpos + (i * kNumAtoms + ai) * 3;
-        // Same per-frame mask as analysis/utils._as_protein:
-        // sum(|xyz|) > 1e-7 keeps the atom.
-        if (std::fabs(p[0]) + std::fabs(p[1]) + std::fabs(p[2]) <= kMaskEps) {
+        // Same per-frame mask as analysis/utils._as_protein: keep iff
+        // sum(|xyz|) > 1e-7. Written as !(sum > eps) so NaN coordinates
+        // are DROPPED exactly like Python's `> eps` mask (both compares
+        // are false for NaN; `sum <= eps` would invert that and emit
+        // "nan" ATOM records).
+        if (!(std::fabs(p[0]) + std::fabs(p[1]) + std::fabs(p[2]) >
+              kMaskEps)) {
           continue;
         }
         appendf(out,
@@ -128,6 +145,11 @@ PyObject* format_models(PyObject*, PyObject* args) {
     }
     out.append("ENDMDL\n");
   }
+  if (c_loc != static_cast<locale_t>(0)) {
+    uselocale(old_loc);
+    freelocale(c_loc);
+  }
+  PyEval_RestoreThread(tstate);
   return PyUnicode_DecodeASCII(out.data(),
                                static_cast<Py_ssize_t>(out.size()), "strict");
 }

@@ -93,11 +93,6 @@ def test_serve_inpaint_roundtrip(tmp_path):
                 with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
                     health = json.load(r)
                     assert health["status"] == "ok"
-                # The port binds only after warmup, so /healthz already
-                # reports the pre-compiled program.
-                assert health["warmed"] == [
-                    {"bucket": 64, "samples": 2, "num_t": 2}
-                ]
                 break
             except Exception:  # noqa: BLE001
                 if proc.poll() is not None:
@@ -109,6 +104,12 @@ def test_serve_inpaint_roundtrip(tmp_path):
                 if time.time() > deadline:
                     raise
                 time.sleep(2.0)
+
+        # Outside the retry loop so a regression fails fast rather than
+        # being swallowed and retried for the full readiness deadline.
+        # The port binds only after warmup, so /healthz already reports
+        # the pre-compiled program.
+        assert health["warmed"] == [{"bucket": 64, "samples": 2, "num_t": 2}]
 
         pdb = _helix_pdb(24)
         body = json.dumps(

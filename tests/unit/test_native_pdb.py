@@ -106,6 +106,61 @@ def test_write_prot_to_pdb_uses_native(tmp_path):
     )
 
 
+def test_nan_coordinates_dropped_like_python():
+    """NaN positions must be masked out (Python's `sum > eps` is false for
+    NaN); a `sum <= eps -> skip` formulation would invert that and emit
+    'nan' ATOM records."""
+    n = 3
+    pos = np.zeros((1, n, 37, 3))
+    pos[0, :, :3] = 1.0  # N, CA, C present
+    pos[0, 1, 1, 0] = np.nan  # CA of residue 2 diverged
+    aatype = np.zeros(n, np.int64)
+    resi = np.arange(1, n + 1)
+    chain = np.zeros(n, np.int64)
+    bfac = np.zeros((n, 37))
+    native = format_models_native(pos, aatype, resi, chain, bfac)
+    assert "nan" not in native
+    assert native + "END\n" == _python_text(pos, aatype, resi, chain, bfac)
+
+
+def test_native_rejects_over_62_chains():
+    """The Python path's Protein.__post_init__ raises for >62 chains; the
+    native path must not silently alias chain letters modulo 62 instead."""
+    n = 70
+    pos = np.ones((1, n, 37, 3))
+    with pytest.raises(ValueError, match="62 chains"):
+        format_models_native(
+            pos,
+            np.zeros(n, np.int64),
+            np.arange(1, n + 1),
+            np.arange(n, dtype=np.int64),  # 70 distinct chains
+            np.zeros((n, 37)),
+        )
+
+
+def test_locale_independent_formatting():
+    """%f is LC_NUMERIC-dependent in C; the extension pins the C locale so
+    a comma-decimal host locale cannot corrupt coordinates."""
+    import locale
+
+    try:
+        locale.setlocale(locale.LC_NUMERIC, "de_DE.UTF-8")
+    except locale.Error:
+        pytest.skip("de_DE.UTF-8 locale not installed")
+    try:
+        rng = np.random.default_rng(3)
+        pos, aatype, residue_index, chain_index, b_factors = _case(rng, 1, 8)
+        native = format_models_native(
+            pos, aatype, residue_index, chain_index, b_factors
+        )
+        assert "," not in native
+        assert native + "END\n" == _python_text(
+            pos, aatype, residue_index, chain_index, b_factors
+        )
+    finally:
+        locale.setlocale(locale.LC_NUMERIC, "C")
+
+
 def test_native_is_faster():
     rng = np.random.default_rng(1)
     pos, aatype, residue_index, chain_index, b_factors = _case(rng, 40, 128)
