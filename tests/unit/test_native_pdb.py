@@ -161,6 +161,19 @@ def test_locale_independent_formatting():
         locale.setlocale(locale.LC_NUMERIC, "C")
 
 
+def test_concurrent_formatting_threads():
+    """The extension releases the GIL during formatting (serve.py handler
+    threads); concurrent calls over distinct inputs must not corrupt each
+    other's buffers or output."""
+    import concurrent.futures
+
+    cases = [_case(np.random.default_rng(i), 3, 40, 2) for i in range(8)]
+    expected = [format_models_native(*c) for c in cases]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        got = list(pool.map(lambda c: format_models_native(*c), cases))
+    assert got == expected
+
+
 def test_native_is_faster():
     rng = np.random.default_rng(1)
     pos, aatype, residue_index, chain_index, b_factors = _case(rng, 40, 128)
