@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import pathlib
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
 
 import numpy as np
@@ -88,6 +89,25 @@ class Inference:
         self.cif_dir = pathlib.Path(cif_dir) if cif_dir else None
         self.sampler = self._create_sampler()
         self._run_cache: dict[tuple, object] = {}
+        # Single background writer: trajectory PDB serialization is the
+        # host-side hot path (PERF.md), so the conditional loops queue it
+        # here and the next case's device scan overlaps the disk work.
+        # One worker keeps per-directory write ordering; futures drain
+        # (re-raising errors) before each loop returns.
+        self._write_pool: ThreadPoolExecutor | None = None
+        self._write_futures: list = []
+
+    def _submit_write(self, fn, *args, **kwargs) -> None:
+        if self._write_pool is None:
+            self._write_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="traj-writer"
+            )
+        self._write_futures.append(self._write_pool.submit(fn, *args, **kwargs))
+
+    def _drain_writes(self) -> None:
+        futures, self._write_futures = self._write_futures, []
+        for f in futures:
+            f.result()  # surfaces the first write error
 
     # -- setup ------------------------------------------------------------------
 
@@ -231,10 +251,15 @@ class Inference:
             self.run_unconditional_sampling()
 
     def run_conditional_sampling(self) -> None:
-        if self.cfg.inference.inpainting_samples.batch_samples:
-            self._run_conditional_batched()
-        else:
-            self._run_conditional_serial()
+        try:
+            if self.cfg.inference.inpainting_samples.batch_samples:
+                self._run_conditional_batched()
+            else:
+                self._run_conditional_serial()
+        finally:
+            # All queued trajectory writes must land (and any write error
+            # surface) before callers read the output tree (e.g. tcr_eval).
+            self._drain_writes()
 
     def _run_conditional_batched(self) -> None:
         """All S samples of a test case in one batched scan — S model
@@ -279,7 +304,9 @@ class Inference:
             for s in todo:
                 sample_dir = length_dir / f"sample_{s}"
                 sample_dir.mkdir(parents=True, exist_ok=True)
-                self.save_traj(
+                # Queued: the next case's device scan overlaps these writes.
+                self._submit_write(
+                    self.save_traj,
                     out["prot_traj"][:, s][:, res_mask],
                     out["rigid_0_traj"][:, s][:, res_mask],
                     diffused_mask[res_mask],
@@ -445,7 +472,8 @@ class Inference:
                 f"{self.cfg.inference.diffusion.num_t} steps in {timer.elapsed:.2f}s"
             )
 
-            self.save_traj(
+            self._submit_write(
+                self.save_traj,
                 out["prot_traj"][:, 0][:, res_mask],
                 out["rigid_0_traj"][:, 0][:, res_mask],
                 diffused_mask[res_mask],

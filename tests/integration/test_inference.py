@@ -161,3 +161,30 @@ def test_denovo_chain_end_to_end(tmp_path, monkeypatch):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_async_writer_surfaces_errors_and_preserves_order(tmp_path):
+    """The background trajectory writer must (a) keep submission order with
+    one worker and (b) re-raise the first write error at drain time."""
+    inf = Inference.__new__(Inference)
+    inf._write_pool = None
+    inf._write_futures = []
+
+    order = []
+    inf._submit_write(order.append, 1)
+    inf._submit_write(order.append, 2)
+    inf._submit_write(order.append, 3)
+    inf._drain_writes()
+    assert order == [1, 2, 3]
+    assert inf._write_futures == []
+
+    def boom():
+        raise OSError("disk full")
+
+    inf._submit_write(boom)
+    inf._submit_write(order.append, 4)
+    with pytest.raises(OSError, match="disk full"):
+        inf._drain_writes()
+    # drain cleared the queue even on error
+    assert inf._write_futures == []
+    inf._write_pool.shutdown(wait=True)
