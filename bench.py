@@ -124,11 +124,14 @@ def bench_single(num_res: int, num_t: int, compute_dtype: str,
 
 
 def bench_train_step(batch: int = 4, num_res: int = 256,
-                     compute_dtype: str = "bfloat16") -> dict:
+                     compute_dtype: str = "bfloat16",
+                     use_pallas: bool = False) -> dict:
     """Full fused train step (noising + fwd + DSM losses + Adam update) at
     the published model size; reported as examples/s via the two-length
     scan slope (cancels the ~30 ms dispatch exactly — single-call timings
-    are meaningless on the tunneled executor, see PERF.md)."""
+    are meaningless on the tunneled executor, see PERF.md). With
+    ``use_pallas`` the edge transitions run the fused pair-MLP kernel
+    forward AND the fused backward kernel (pallas_bwd_impl="pallas")."""
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.train.loop import (
@@ -138,8 +141,12 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
     )
 
     cfg, diffuser, model = _make_model()
-    if compute_dtype != "float32":
+    if compute_dtype != "float32" or use_pallas:
         mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
+        if use_pallas:
+            mc.ipa = dataclasses.replace(
+                mc.ipa, use_pallas_kernel=True, pallas_bwd_impl="pallas"
+            )
         model = ScoreNetwork(mc, diffuser, inpainting=True)
     feats = _make_feats(batch, num_res)
     batch_dict = {
@@ -272,15 +279,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"len256_bf16_pallas_batch5 failed: {e}", file=sys.stderr)
 
-    # Training path (examples/s, dispatch-free slope).
-    try:
-        results["train_step_4x256_bf16"] = bench_train_step()
-        print(
-            f"train_step_4x256_bf16: {results['train_step_4x256_bf16']}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"train_step_4x256_bf16 failed: {e}", file=sys.stderr)
+    # Training path (examples/s, dispatch-free slope): XLA saved-activation
+    # backward vs fused pair-MLP forward + fused backward kernel.
+    for name, use_pallas in (
+        ("train_step_4x256_bf16", False),
+        ("train_step_4x256_bf16_pallas_bwd", True),
+    ):
+        try:
+            results[name] = bench_train_step(use_pallas=use_pallas)
+            print(f"{name}: {results[name]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} failed: {e}", file=sys.stderr)
 
     len256 = [
         v["median"]

@@ -245,6 +245,10 @@ class EdgeTransition(nn.Module):
     tile_i: int = 32
     tile_j: int = 128
     interpret: bool = False  # Pallas interpret mode (CPU-mesh tests)
+    # Backward implementation for the fused kernel: "xla" remats through
+    # the identical-math XLA twin; "pallas" runs the fused backward kernel
+    # (model/pallas/pair_mlp.py:fused_pair_mlp_bwd).
+    bwd_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -342,7 +346,8 @@ class EdgeTransition(nn.Module):
             )
             if sp_ctx is None:
                 return fused_pair_mlp_trainable(
-                    self.tile_i, self.tile_j, self.interpret, *kernel_args
+                    self.tile_i, self.tile_j, self.interpret, self.bwd_impl,
+                    *kernel_args,
                 )
             # Sequence parallelism: a Pallas custom call is a single-chip op
             # under GSPMD, but the kernel operates on independent row tiles,
@@ -366,8 +371,11 @@ class EdgeTransition(nn.Module):
                 row3, col3, rep,                   # fi local, fj full, wfe
             )
             tile_i, tile_j, interp = self.tile_i, self.tile_j, self.interpret
+            bwd_impl = self.bwd_impl
             return shard_map(
-                lambda *a: fused_pair_mlp_trainable(tile_i, tile_j, interp, *a),
+                lambda *a: fused_pair_mlp_trainable(
+                    tile_i, tile_j, interp, bwd_impl, *a
+                ),
                 mesh=mesh,
                 in_specs=in_specs,
                 out_specs=P(sp.DP_AXIS, axis, None, None),
@@ -548,6 +556,7 @@ class IpaTrunk(nn.Module):
                     tile_i=ipa_conf.pallas_tile_i,
                     tile_j=ipa_conf.pallas_tile_j,
                     interpret=bool(getattr(ipa_conf, "pallas_interpret", False)),
+                    bwd_impl=getattr(ipa_conf, "pallas_bwd_impl", "xla"),
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask.astype(dtype))
                 # Edge-mask epilogue is applied inside EdgeTransition on

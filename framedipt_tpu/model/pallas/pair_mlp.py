@@ -335,19 +335,413 @@ def _xla_pair_mlp(
     return (normed * emask[..., None].astype(F32)).astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pair_mlp_bwd_kernel(residual: bool, *refs):
+    """Fused backward: recompute the forward VMEM-resident (exactly the
+    math of ``_pair_mlp_kernel``), then back-propagate through LayerNorm,
+    the three matmuls and the relus inside the same tile. Data grads
+    (d_pair) stream out per tile; everything that is a *reduction over the
+    grid* — weight grads, bias grads, the O(N) row/column term grads and
+    the mask grads — accumulates in float32 directly in the output blocks,
+    which persist in VMEM across the sequential grid iterations that
+    revisit them (row-indexed outputs across the innermost j loop,
+    per-batch column/full outputs across a batch's (i, j) sweep, weight
+    outputs across the whole grid)."""
+    if residual:
+        (
+            pair_ref, g_ref, i0_ref, j0_ref, fi_ref, fj_ref,
+            rmask_ref, cmask_ref,
+            w0_ref, w1_ref, b1_ref, wf_ref, wfe_ref, lns_ref, lnb_ref,
+            dpair_ref, di0_ref, dj0_ref, drm_ref, dcm_ref,
+            dw0_ref, dw1_ref, db1_ref, dwf_ref, dbf_ref, dlns_ref, dlnb_ref,
+            dfi_ref, dfj_ref, dwfe_ref,
+        ) = refs
+        bf_ref = None
+    else:
+        (
+            pair_ref, g_ref, i0_ref, j0_ref, rmask_ref, cmask_ref,
+            w0_ref, w1_ref, b1_ref, wf_ref, bf_ref, lns_ref, lnb_ref,
+            dpair_ref, di0_ref, dj0_ref, drm_ref, dcm_ref,
+            dw0_ref, dw1_ref, db1_ref, dwf_ref, dbf_ref, dlns_ref, dlnb_ref,
+        ) = refs
+        fi_ref = fj_ref = wfe_ref = None
+        dfi_ref = dfj_ref = dwfe_ref = None
+
+    b_id, i_id, j_id = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _, ti, tj, c_in = pair_ref.shape
+    h = w0_ref.shape[1]
+    c_out = wf_ref.shape[1]
+    dtype = pair_ref.dtype
+    m = ti * tj
+    col_off = j_id * tj
+
+    # ---- zero the accumulators on their first visit --------------------
+    first_tile = jnp.logical_and(i_id == 0, j_id == 0)
+
+    @pl.when(jnp.logical_and(b_id == 0, first_tile))
+    def _init_weight_accs():
+        dw0_ref[...] = jnp.zeros_like(dw0_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        if residual:
+            dwfe_ref[...] = jnp.zeros_like(dwfe_ref)
+
+    @pl.when(first_tile)
+    def _init_batch_accs():
+        dj0_ref[...] = jnp.zeros_like(dj0_ref)
+        dcm_ref[...] = jnp.zeros_like(dcm_ref)
+        if residual:
+            dfj_ref[...] = jnp.zeros_like(dfj_ref)
+
+    @pl.when(j_id == 0)
+    def _init_row_accs():
+        di0_ref[...] = jnp.zeros_like(di0_ref)
+        drm_ref[...] = jnp.zeros_like(drm_ref)
+        if residual:
+            dfi_ref[...] = jnp.zeros_like(dfi_ref)
+
+    # ---- forward recompute (identical math to _pair_mlp_kernel) --------
+    pair = pair_ref[0].reshape(m, c_in)
+    y0 = jnp.dot(pair, w0_ref[:], preferred_element_type=F32).astype(dtype)
+    y0 = y0.reshape(ti, tj, h) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
+    y0 = jax.nn.relu(y0).reshape(m, h)
+    y1 = jnp.dot(y0, w1_ref[:], preferred_element_type=F32).astype(dtype)
+    y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, h))
+    out = jnp.dot(y1, wf_ref[:], preferred_element_type=F32).astype(dtype)
+    if residual:
+        out = out + jnp.dot(
+            pair, wfe_ref[:], preferred_element_type=F32
+        ).astype(dtype)
+    out = out.reshape(ti, tj, c_out)
+    if residual:
+        out = out + fi_ref[0][:, None, :] + fj_ref[0][None, :, :]
+    else:
+        out = out + bf_ref[:].reshape(1, 1, c_out)
+    x = out.astype(F32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    centered = x - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = centered * inv
+    s = lns_ref[:].reshape(1, 1, c_out).astype(F32)
+    yln = xhat * s + lnb_ref[:].reshape(1, 1, c_out).astype(F32)
+    rmask = rmask_ref[0].astype(F32)  # [ti, 1]
+    cmask = cmask_ref[0].astype(F32)  # [1, tj]
+    emask = rmask * cmask  # [ti, tj]
+
+    # ---- backward -------------------------------------------------------
+    gf = g_ref[0].astype(F32)  # [ti, tj, c_out]
+    gm = gf * emask[:, :, None]
+
+    # mask grads (through out = yln * emask)
+    dem = jnp.sum(yln * gf, axis=-1)  # [ti, tj]
+    drm_ref[0] += jnp.sum(dem * cmask, axis=1, keepdims=True)  # [ti, 1]
+    dcm_ref[0, :, pl.ds(col_off, tj)] += jnp.sum(
+        dem * rmask, axis=0, keepdims=True
+    )  # [1, tj]
+
+    # LayerNorm backward (biased variance, eps inside rsqrt)
+    dlns_ref[...] += jnp.sum(gm * xhat, axis=(0, 1)).reshape(1, c_out)
+    dlnb_ref[...] += jnp.sum(gm, axis=(0, 1)).reshape(1, c_out)
+    dxhat = gm * s
+    mu1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mu2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - mu1 - xhat * mu2) * inv  # [ti, tj, c_out] f32
+    dxd = dx.astype(dtype).reshape(m, c_out)
+
+    def _t_dot(a, b):  # [m, p] x [m, q] -> [p, q], f32 accumulation
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )
+
+    def _nt_dot(a, w):  # [m, p] x [q, p] -> [m, q] (i.e. a @ w.T)
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        )
+
+    # final projection
+    dwf_ref[...] += _t_dot(y1, dxd)
+    dbf_ref[...] += jnp.sum(dx, axis=(0, 1)).reshape(1, c_out)
+    if residual:
+        dwfe_ref[...] += _t_dot(pair, dxd)
+        dfi_ref[0] += jnp.sum(dx, axis=1)  # [ti, c_out]
+        dfj_ref[0, pl.ds(col_off, tj), :] += jnp.sum(dx, axis=0)
+
+    # second layer
+    dy1 = _nt_dot(dxd, wf_ref[:]).astype(dtype)
+    dy1 = dy1 * (y1 > 0).astype(dtype)  # relu'(0) = 0, as jax.nn.relu
+    db1_ref[...] += jnp.sum(dy1.astype(F32), axis=0).reshape(1, h)
+    dw1_ref[...] += _t_dot(y0, dy1)
+
+    # first layer
+    dy0 = _nt_dot(dy1, w1_ref[:]).astype(dtype)
+    dy0 = dy0 * (y0 > 0).astype(dtype)  # [m, h]
+    dw0_ref[...] += _t_dot(pair, dy0)
+    dy03 = dy0.reshape(ti, tj, h).astype(F32)
+    di0_ref[0] += jnp.sum(dy03, axis=1)  # [ti, h]
+    dj0_ref[0, pl.ds(col_off, tj), :] += jnp.sum(dy03, axis=0)  # [tj, h]
+
+    dpair = _nt_dot(dy0, w0_ref[:]).astype(dtype)
+    if residual:
+        dpair = dpair + _nt_dot(dxd, wfe_ref[:]).astype(dtype)
+    dpair_ref[0] = dpair.reshape(ti, tj, c_in)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret")
+)
+def fused_pair_mlp_bwd(
+    g,
+    pair, i_term, j_term, row_mask, col_mask,
+    w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
+    fi, fj, wfe,
+    *,
+    tile_i: int = 16,
+    tile_j: int = 128,
+    interpret: bool = False,
+):
+    """Fused Pallas backward of the pair MLP: one kernel recomputes the
+    forward per tile and produces every input gradient, so neither the
+    [B, N, N, hidden] activations (XLA's saved-activation backward) nor a
+    second N^2-wide XLA recompute graph (the remat twin) ever touch HBM.
+    Grid-reduced grads accumulate f32 in VMEM-resident output blocks over
+    a sequential grid. Returns grads in the same order/dtypes as
+    ``jax.vjp(_xla_pair_mlp, ...)``."""
+    residual = wfe is not None
+    B, N_r, N_c, c_in = pair.shape
+    h = w0.shape[1]
+    c_out = wf.shape[1]
+    dtype = pair.dtype
+
+    # Same folds as the forward kernel wrapper (fp reassociation only).
+    i0 = (i_term + b0).astype(dtype)
+    j0 = j_term.astype(dtype)
+    fi2 = (fi + bf).astype(dtype) if residual else None
+    fj2 = fj.astype(dtype) if residual else None
+
+    # The backward holds ~2x the forward's live tile tensors; halve the
+    # per-tile element budget relative to the forward's f32 guard.
+    max_elems = 1024 if jnp.dtype(dtype).itemsize >= 4 else 2048
+    while tile_i * tile_j > max_elems and tile_j > 128:
+        tile_j //= 2
+    while tile_i * tile_j > max_elems and tile_i > 8:
+        tile_i //= 2
+    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
+    pad_i = (-N_r) % tile_i
+    pad_j = (-N_c) % tile_j
+    if pad_i or pad_j:
+        # g zero-padded => every gradient contribution from padded
+        # elements is exactly zero (dx = f(g)=0 pointwise).
+        pair = jnp.pad(pair, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
+        i0 = jnp.pad(i0, ((0, 0), (0, pad_i), (0, 0)))
+        j0 = jnp.pad(j0, ((0, 0), (0, pad_j), (0, 0)))
+        if residual:
+            fi2 = jnp.pad(fi2, ((0, 0), (0, pad_i), (0, 0)))
+            fj2 = jnp.pad(fj2, ((0, 0), (0, pad_j), (0, 0)))
+    rmask = jnp.pad(row_mask, ((0, 0), (0, pad_i))) if pad_i else row_mask
+    cmask = jnp.pad(col_mask, ((0, 0), (0, pad_j))) if pad_j else col_mask
+    n_rows, n_cols = pair.shape[1], pair.shape[2]
+    grid = (B, n_rows // tile_i, n_cols // tile_j)
+
+    full_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    tile4 = pl.BlockSpec(
+        (1, tile_i, tile_j, c_in),
+        lambda b, i, j: (b, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gtile = pl.BlockSpec(
+        (1, tile_i, tile_j, c_out),
+        lambda b, i, j: (b, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_i = lambda c: pl.BlockSpec(  # noqa: E731
+        (1, tile_i, c), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    row_j = lambda c: pl.BlockSpec(  # noqa: E731
+        (1, tile_j, c), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    batch_full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda b, i, j: (b,) + tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [tile4, gtile, row_i(h), row_j(h)]
+    args = [pair, g.astype(dtype), i0, j0]
+    if residual:
+        in_specs += [row_i(c_out), row_j(c_out)]
+        args += [fi2, fj2]
+    in_specs += [
+        pl.BlockSpec(
+            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, tile_j), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
+        ),
+        full_spec(c_in, h),
+        full_spec(h, h),
+        full_spec(1, h),
+        full_spec(h, c_out),
+    ]
+    args += [
+        rmask.astype(dtype)[:, :, None],
+        cmask.astype(dtype)[:, None, :],
+        w0.astype(dtype),
+        w1.astype(dtype),
+        b1.reshape(1, -1).astype(dtype),
+        wf.astype(dtype),
+    ]
+    if residual:
+        in_specs.append(full_spec(c_in, c_out))
+        args.append(wfe.astype(dtype))
+    else:
+        in_specs.append(full_spec(1, c_out))
+        args.append(bf.reshape(1, -1).astype(dtype))
+    in_specs += [full_spec(1, c_out)] * 2
+    args += [
+        ln_scale.reshape(1, -1).astype(F32),
+        ln_bias.reshape(1, -1).astype(F32),
+    ]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n_rows, n_cols, c_in), dtype),  # d_pair
+        jax.ShapeDtypeStruct((B, n_rows, h), F32),  # d_i0
+        jax.ShapeDtypeStruct((B, n_cols, h), F32),  # d_j0
+        jax.ShapeDtypeStruct((B, n_rows, 1), F32),  # d_rmask
+        jax.ShapeDtypeStruct((B, 1, n_cols), F32),  # d_cmask
+        jax.ShapeDtypeStruct((c_in, h), F32),  # d_w0
+        jax.ShapeDtypeStruct((h, h), F32),  # d_w1
+        jax.ShapeDtypeStruct((1, h), F32),  # d_b1
+        jax.ShapeDtypeStruct((h, c_out), F32),  # d_wf
+        jax.ShapeDtypeStruct((1, c_out), F32),  # d_bf (= sum dx)
+        jax.ShapeDtypeStruct((1, c_out), F32),  # d_ln_scale
+        jax.ShapeDtypeStruct((1, c_out), F32),  # d_ln_bias
+    ]
+    out_specs = [
+        tile4,
+        row_i(h),
+        batch_full(n_cols, h),
+        pl.BlockSpec(
+            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        batch_full(1, n_cols),
+        full_spec(c_in, h),
+        full_spec(h, h),
+        full_spec(1, h),
+        full_spec(h, c_out),
+        full_spec(1, c_out),
+        full_spec(1, c_out),
+        full_spec(1, c_out),
+    ]
+    if residual:
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, n_rows, c_out), F32),  # d_fi
+            jax.ShapeDtypeStruct((B, n_cols, c_out), F32),  # d_fj
+            jax.ShapeDtypeStruct((c_in, c_out), F32),  # d_wfe
+        ]
+        out_specs += [
+            row_i(c_out),
+            batch_full(n_cols, c_out),
+            full_spec(c_in, c_out),
+        ]
+
+    flops_per_elem = 3 * 2 * (c_in * h + h * h + h * c_out)
+    if residual:
+        flops_per_elem += 3 * 2 * c_in * c_out
+    outs = pl.pallas_call(
+        functools.partial(_pair_mlp_bwd_kernel, residual),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            # Sequential grid: the reduced outputs accumulate in their
+            # VMEM-resident blocks across revisiting iterations.
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * n_rows * n_cols * flops_per_elem,
+            bytes_accessed=B
+            * n_rows
+            * n_cols
+            * (2 * c_in + 2 * c_out)
+            * pair.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    if residual:
+        (
+            d_pair, d_i0, d_j0, d_rm, d_cm,
+            d_w0, d_w1, d_b1, d_wf, d_bf, d_lns, d_lnb,
+            d_fi, d_fj, d_wfe,
+        ) = outs
+    else:
+        (
+            d_pair, d_i0, d_j0, d_rm, d_cm,
+            d_w0, d_w1, d_b1, d_wf, d_bf, d_lns, d_lnb,
+        ) = outs
+        d_fi = d_fj = d_wfe = None
+
+    if pad_i or pad_j:
+        d_pair = d_pair[:, :N_r, :N_c, :]
+        d_i0 = d_i0[:, :N_r]
+        d_j0 = d_j0[:, :N_c]
+        d_rm = d_rm[:, :N_r]
+        d_cm = d_cm[:, :, :N_c]
+        if residual:
+            d_fi = d_fi[:, :N_r]
+            d_fj = d_fj[:, :N_c]
+
+    # Unfold: i0 = i_term + b0 and fi2 = fi + bf are identity adds, so
+    # d_b0 / d_bf are plain sums of the already-computed grads.
+    d_b0 = jnp.sum(d_i0, axis=(0, 1))
+    cast = lambda v, ref: None if v is None else v.astype(ref.dtype)  # noqa: E731
+    return (
+        d_pair.astype(pair.dtype),
+        cast(d_i0, i_term),
+        cast(d_j0, j_term),
+        cast(d_rm[..., 0], row_mask),
+        cast(d_cm[:, 0, :], col_mask),
+        cast(d_w0, w0),
+        cast(d_b0, b0),
+        cast(d_w1, w1),
+        cast(d_b1[0], b1),
+        cast(d_wf, wf),
+        cast(d_bf[0], bf),
+        cast(d_lns[0], ln_scale),
+        cast(d_lnb[0], ln_bias),
+        cast(d_fi, fi),
+        cast(d_fj, fj),
+        cast(d_wfe, wfe),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def fused_pair_mlp_trainable(
-    tile_i, tile_j, interpret,
+    tile_i, tile_j, interpret, bwd_impl,
     pair, i_term, j_term, row_mask, col_mask,
     w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
     fi, fj, wfe,
 ):
-    """Differentiable fused pair MLP: the forward pass is the Pallas kernel,
-    the backward is the VJP of the (numerically identical) XLA formulation,
-    rematerialized from the saved inputs. Compared to differentiating the
-    plain XLA formulation this trades one extra forward's FLOPs for never
-    saving the [B, N, N, hidden] activations to HBM (jax.checkpoint-style),
-    with the kernel's faster forward on top."""
+    """Differentiable fused pair MLP: the forward pass is the Pallas kernel;
+    the backward is selected by ``bwd_impl``:
+
+    - ``"xla"``: the VJP of the (numerically identical) XLA formulation,
+      rematerialized from the saved inputs — one extra forward's FLOPs, but
+      the [B, N, N, hidden] activations never touch HBM
+      (jax.checkpoint-style).
+    - ``"pallas"``: the fused backward kernel (:func:`fused_pair_mlp_bwd`)
+      — the recompute AND the backward run tile-resident, so backward HBM
+      traffic drops to one pair read + one cotangent read + one d_pair
+      write per element."""
     return fused_pair_mlp(
         pair, i_term, j_term, row_mask, col_mask,
         w0, b0, w1, b1, wf, bf, ln_scale, ln_bias,
@@ -356,13 +750,16 @@ def fused_pair_mlp_trainable(
     )
 
 
-def _trainable_fwd(tile_i, tile_j, interpret, *args):
-    out = fused_pair_mlp_trainable(tile_i, tile_j, interpret, *args)
+def _trainable_fwd(tile_i, tile_j, interpret, bwd_impl, *args):
+    out = fused_pair_mlp_trainable(tile_i, tile_j, interpret, bwd_impl, *args)
     return out, args
 
 
-def _trainable_bwd(tile_i, tile_j, interpret, residuals, g):
-    del tile_i, tile_j, interpret
+def _trainable_bwd(tile_i, tile_j, interpret, bwd_impl, residuals, g):
+    if bwd_impl == "pallas":
+        return fused_pair_mlp_bwd(
+            g, *residuals, tile_i=tile_i, tile_j=tile_j, interpret=interpret
+        )
     _, vjp = jax.vjp(_xla_pair_mlp, *residuals)
     return vjp(g)
 

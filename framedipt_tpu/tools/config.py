@@ -108,6 +108,11 @@ class IPAConfig:
     # to a single pass per z row-tile shared across head iterations via
     # VMEM scratch. None = auto, same policy as use_pallas_kernel.
     use_pallas_ipa: bool | None = None
+    # Backward implementation when the fused pair-MLP kernel is trained
+    # through: "xla" remats through the identical-math XLA twin; "pallas"
+    # runs the fused backward kernel (forward recompute + all input grads
+    # tile-resident, grid-reduced grads accumulated f32 in VMEM).
+    pallas_bwd_impl: str = "xla"
     # Run Pallas kernels in interpret mode (CPU-mesh tests only).
     pallas_interpret: bool = False
 

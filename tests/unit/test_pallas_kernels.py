@@ -229,7 +229,7 @@ def test_trainable_kernel_gradients_embedder_variant():
 
     def loss_fused(pair, i_term, j_term, *ws):
         out = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, mask, *ws, None, None, None
+            8, 16, False, "xla", pair, i_term, j_term, mask, mask, *ws, None, None, None
         )
         return jnp.sum(out * cot)
 
@@ -275,7 +275,7 @@ def test_trainable_kernel_bf16_forward_matches_xla_twin():
 
     with pltpu.force_tpu_interpret_mode():
         out_fused = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, mask, *weights,
+            8, 16, False, "xla", pair, i_term, j_term, mask, mask, *weights,
             None, None, None,
         )
     out_xla = _xla_pair_mlp(pair, i_term, j_term, mask, mask, *weights,
@@ -292,7 +292,7 @@ def test_trainable_kernel_bf16_forward_matches_xla_twin():
 
     def loss(pair, *ws):
         out = fused_pair_mlp_trainable(
-            8, 16, False, pair, i_term, j_term, mask, mask, *ws, None, None, None
+            8, 16, False, "xla", pair, i_term, j_term, mask, mask, *ws, None, None, None
         )
         return jnp.sum((out * cot).astype(jnp.float32))
 
@@ -478,3 +478,155 @@ def test_fused_ipa_attention_matches_xla():
         np.asarray(out_xla) * m3, np.asarray(out_pal) * m3,
         atol=2e-4, rtol=1e-3,
     )
+
+
+def _bwd_args(residual: bool, dtype, B=2, n_r=24, n_c=20, c_in=8, h=32, c_out=8):
+    """Random args in _xla_pair_mlp order; rectangular + non-tile-multiple
+    shapes exercise the bwd kernel's padding and per-batch accumulators."""
+    rng = np.random.default_rng(17 if residual else 18)
+
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape) * scale, dtype=dtype)
+
+    pair = arr(B, n_r, n_c, c_in)
+    i_term = arr(B, n_r, h)
+    j_term = arr(B, n_c, h)
+    rmask_np = np.ones((B, n_r), np.float32)
+    rmask_np[:, -3:] = 0.0
+    cmask_np = np.ones((B, n_c), np.float32)
+    cmask_np[:, -2:] = 0.0
+    rmask = jnp.asarray(rmask_np, dtype=dtype)
+    cmask = jnp.asarray(cmask_np, dtype=dtype)
+    w0 = arr(c_in, h, scale=0.3)
+    b0 = arr(h, scale=0.3)
+    w1 = arr(h, h, scale=0.3)
+    b1 = arr(h, scale=0.3)
+    wf = arr(h, c_out, scale=0.3)
+    bf = arr(c_out, scale=0.3)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=c_out), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.normal(size=c_out), jnp.float32)
+    if residual:
+        fi = arr(B, n_r, c_out)
+        fj = arr(B, n_c, c_out)
+        wfe = arr(c_in, c_out, scale=0.3)
+    else:
+        fi = fj = wfe = None
+    g = arr(B, n_r, n_c, c_out)
+    return g, (pair, i_term, j_term, rmask, cmask,
+               w0, b0, w1, b1, wf, bf, lns, lnb, fi, fj, wfe)
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_pallas_bwd_kernel_matches_xla_vjp(residual):
+    """fused_pair_mlp_bwd (one fused backward kernel) must reproduce every
+    cotangent of jax.vjp(_xla_pair_mlp, ...): data grads, O(N) row/column
+    term grads, mask grads, and the grid-reduced weight/bias/LN grads."""
+    from framedipt_tpu.model.pallas.pair_mlp import (
+        _xla_pair_mlp,
+        fused_pair_mlp_bwd,
+    )
+
+    g, args = _bwd_args(residual, jnp.float32)
+    _, vjp = jax.vjp(_xla_pair_mlp, *args)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_pair_mlp_bwd(g, *args, tile_i=8, tile_j=16, interpret=True)
+
+    names = (
+        "pair i_term j_term row_mask col_mask w0 b0 w1 b1 wf bf "
+        "ln_scale ln_bias fi fj wfe"
+    ).split()
+    assert len(want) == len(got) == len(names)
+    for name, a, b in zip(names, want, got):
+        assert (a is None) == (b is None), name
+        if a is None:
+            continue
+        assert b.dtype == a.dtype, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_pallas_bwd_kernel_bf16_close_to_xla_vjp():
+    """Under bf16 the fused backward and the XLA twin's VJP differ only in
+    rounding order (both accumulate matmuls in f32); grads must agree to
+    bf16 tolerance and be finite.
+
+    Biases are pre-folded to zero here: the bwd kernel folds b0 into i_term
+    (bf16 reassociation), which can flip a relu mask for pre-activations
+    within 1 ulp of zero and toggle that element's entire grad contribution
+    — an inherent property of any bf16 reassociation, not an accumulation
+    error. The f32 variant of this test covers the fold exactly."""
+    from framedipt_tpu.model.pallas.pair_mlp import (
+        _xla_pair_mlp,
+        fused_pair_mlp_bwd,
+    )
+
+    g, args = _bwd_args(True, jnp.bfloat16)
+    (pair, i_term, j_term, rmask, cmask,
+     w0, b0, w1, b1, wf, bf, lns, lnb, fi, fj, wfe) = args
+    args = (pair, i_term + b0, j_term, rmask, cmask,
+            w0, jnp.zeros_like(b0), w1, b1, wf, jnp.zeros_like(bf),
+            lns, lnb, fi + bf, fj, wfe)
+    _, vjp = jax.vjp(_xla_pair_mlp, *args)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_pair_mlp_bwd(g, *args, tile_i=8, tile_j=16, interpret=True)
+    for a, b in zip(want, got):
+        if a is None:
+            continue
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b, np.float32)
+        assert np.isfinite(b32).all()
+        scale = max(1.0, np.abs(a32).max())
+        assert np.abs(a32 - b32).max() / scale < 0.08
+
+
+def test_edge_transition_pallas_bwd_gradients():
+    """EdgeTransition with bwd_impl='pallas' (fused backward kernel) must
+    match the plain XLA EdgeTransition's parameter/input gradients through
+    the module plumbing (w0/wf slicing, b0/bf folds, shared masks)."""
+    rng = np.random.default_rng(7)
+    B, n, Cs, Ce = 1, 24, 64, 32
+    node = jnp.asarray(rng.normal(size=(B, n, Cs)).astype(np.float32))
+    edge = jnp.asarray(rng.normal(size=(B, n, n, Ce)).astype(np.float32))
+    mask_np = np.ones((B, n), np.float32)
+    mask_np[:, -3:] = 0.0
+    mask = jnp.asarray(mask_np)
+    cot = jnp.asarray(rng.normal(size=(B, n, n, Ce)).astype(np.float32))
+
+    et_xla = EdgeTransition(node_embed_size=Cs, edge_embed_out=Ce)
+    params = et_xla.init(jax.random.PRNGKey(0), node, edge)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(8).normal(size=x.shape).astype(np.float32),
+        params,
+    )
+
+    def loss_xla(p, nd, ed):
+        out = et_xla.apply(p, nd, ed)
+        out = out * (mask[:, :, None] * mask[:, None, :])[..., None]
+        return jnp.sum(out * cot)
+
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(params, node, edge)
+
+    et_pallas = EdgeTransition(
+        node_embed_size=Cs, edge_embed_out=Ce, use_pallas=True,
+        tile_i=8, tile_j=128, bwd_impl="pallas",
+    )
+
+    def loss_pallas(p, nd, ed):
+        out = et_pallas.apply(p, nd, ed, node_mask=mask)
+        return jnp.sum(out * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, node, edge)
+
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pallas)
+    assert len(flat_x) == len(flat_p)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )

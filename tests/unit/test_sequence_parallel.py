@@ -150,9 +150,9 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
     shard_shapes = []
     orig = pair_mlp_mod.fused_pair_mlp_trainable
 
-    def spy(tile_i, tile_j, interpret, pair, *rest):
+    def spy(tile_i, tile_j, interpret, bwd_impl, pair, *rest):
         shard_shapes.append(tuple(pair.shape))
-        return orig(tile_i, tile_j, interpret, pair, *rest)
+        return orig(tile_i, tile_j, interpret, bwd_impl, pair, *rest)
 
     monkeypatch.setattr(pair_mlp_mod, "fused_pair_mlp_trainable", spy)
 
