@@ -97,11 +97,21 @@ class Inference:
         self._write_pool: ThreadPoolExecutor | None = None
         self._write_futures: list = []
 
+    # Max queued writes: each future pins that sample's trajectory arrays
+    # (~100 MB at num_t=500, N~500), so an unbounded queue on a slow disk
+    # would grow without limit — and defer a disk-full error to the very
+    # end of the run. Blocking at 4 keeps compute/IO overlap (the scan for
+    # the next case still runs while <=4 writes drain) with bounded memory
+    # and error latency.
+    _MAX_PENDING_WRITES = 4
+
     def _submit_write(self, fn, *args, **kwargs) -> None:
         if self._write_pool is None:
             self._write_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="traj-writer"
             )
+        while len(self._write_futures) >= self._MAX_PENDING_WRITES:
+            self._write_futures.pop(0).result()
         self._write_futures.append(self._write_pool.submit(fn, *args, **kwargs))
 
     def _drain_writes(self) -> None:

@@ -337,7 +337,8 @@ class EdgeTransition(nn.Module):
                 else jnp.ones(node_bias.shape[:2], edge_embed.dtype)
             )
             # LayerNorm + edge-mask epilogue are fused inside the kernel.
-            # Differentiable: backward remats through the XLA formulation.
+            # Differentiable; the backward is selected by self.bwd_impl
+            # ("xla" remat twin or the fused Pallas backward kernel).
             kernel_args = (
                 edge_embed, i_term.astype(self.dtype),
                 j_term.astype(self.dtype), mask, mask,

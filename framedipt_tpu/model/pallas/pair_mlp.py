@@ -39,6 +39,42 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
+def _tile_geometry(tile_i, tile_j, n_r, n_c, max_elems):
+    """Shared tile policy for the forward and backward kernels: shrink to
+    the per-tile element budget (VMEM-driven), then clamp so padding never
+    exceeds the lane (128) / sublane (8) minima. Returns
+    (tile_i, tile_j, pad_i, pad_j)."""
+    if max_elems is not None:
+        while tile_i * tile_j > max_elems and tile_j > 128:
+            tile_j //= 2
+        while tile_i * tile_j > max_elems and tile_i > 8:
+            tile_i //= 2
+    tile_j = min(tile_j, max(128, -(-n_c // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-n_r // 8) * 8))
+    return tile_i, tile_j, (-n_r) % tile_i, (-n_c) % tile_j
+
+
+def _full_spec(*shape):
+    """Whole-array block, constant across the grid."""
+    return pl.BlockSpec(
+        shape, lambda b, i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+
+def _row_i_spec(t, c):
+    """[1, t, c] block indexed by the row grid dimension."""
+    return pl.BlockSpec(
+        (1, t, c), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _row_j_spec(t, c):
+    """[1, t, c] block indexed by the column grid dimension."""
+    return pl.BlockSpec(
+        (1, t, c), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _pair_mlp_kernel(
     residual: bool,
     *refs,
@@ -167,18 +203,12 @@ def fused_pair_mlp(
     # f32 inputs double the VMEM stack footprint: a 16x256 f32 tile OOMs the
     # ~16 MB scoped budget (22.6 MB measured) that the same bf16 tile fits.
     # Shrink to <=2048 elements (16x128 f32 fits) without touching tiles
-    # that are already small.
-    if jnp.dtype(dtype).itemsize >= 4:
-        while tile_i * tile_j > 2048 and tile_j > 128:
-            tile_j //= 2
-        while tile_i * tile_j > 2048 and tile_i > 8:
-            tile_i //= 2
-    # Clamp tiles for short sequences so padding never exceeds the lane/
-    # sublane minima (cols padded to 128-multiples, rows to 8-multiples).
-    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
-    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
-    pad_i = (-N_r) % tile_i
-    pad_j = (-N_c) % tile_j
+    # that are already small, then clamp for short sequences so padding
+    # never exceeds the lane/sublane minima.
+    max_elems = 2048 if jnp.dtype(dtype).itemsize >= 4 else None
+    tile_i, tile_j, pad_i, pad_j = _tile_geometry(
+        tile_i, tile_j, N_r, N_c, max_elems
+    )
     if pad_i or pad_j:
         pair = jnp.pad(pair, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
         i_term = jnp.pad(i_term, ((0, 0), (0, pad_i), (0, 0)))
@@ -191,13 +221,6 @@ def fused_pair_mlp(
     n_rows, n_cols = pair.shape[1], pair.shape[2]
 
     grid = (B, n_rows // tile_i, n_cols // tile_j)
-    row_spec = lambda t, c: pl.BlockSpec(  # noqa: E731
-        (1, t, c), lambda b, i, j: (b, i if t == tile_i else j, 0),
-        memory_space=pltpu.VMEM,
-    )
-    full_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
 
     in_specs = [
         pl.BlockSpec(
@@ -205,38 +228,26 @@ def fused_pair_mlp(
             lambda b, i, j: (b, i, j, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, tile_i, h), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, tile_j, h), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-        ),
+        _row_i_spec(tile_i, h),
+        _row_j_spec(tile_j, h),
     ]
     args = [pair, i_term.astype(dtype), j_term.astype(dtype)]
     if residual:
         in_specs += [
-            pl.BlockSpec(
-                (1, tile_i, c_out), lambda b, i, j: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_j, c_out), lambda b, i, j: (b, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            _row_i_spec(tile_i, c_out),
+            _row_j_spec(tile_j, c_out),
         ]
         args += [fi.astype(dtype), fj.astype(dtype)]
     in_specs += [
-        pl.BlockSpec(
-            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+        _row_i_spec(tile_i, 1),
         pl.BlockSpec(
             (1, 1, tile_j), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
         ),
-        full_spec(c_in, h),
-        full_spec(1, h),
-        full_spec(h, h),
-        full_spec(1, h),
-        full_spec(h, c_out),
+        _full_spec(c_in, h),
+        _full_spec(1, h),
+        _full_spec(h, h),
+        _full_spec(1, h),
+        _full_spec(h, c_out),
     ]
     args += [
         rmask.astype(dtype)[:, :, None],  # [B, N, 1]: rows in sublane dim
@@ -249,9 +260,9 @@ def fused_pair_mlp(
         wf.astype(dtype),
     ]
     if residual:
-        in_specs.append(full_spec(c_in, c_out))
+        in_specs.append(_full_spec(c_in, c_out))
         args.append(wfe.astype(dtype))
-    in_specs += [full_spec(1, c_out)] * 3
+    in_specs += [_full_spec(1, c_out)] * 3
     args += [
         bf.reshape(1, -1).astype(dtype),
         ln_scale.reshape(1, -1).astype(F32),
@@ -525,14 +536,9 @@ def fused_pair_mlp_bwd(
     # The backward holds ~2x the forward's live tile tensors; halve the
     # per-tile element budget relative to the forward's f32 guard.
     max_elems = 1024 if jnp.dtype(dtype).itemsize >= 4 else 2048
-    while tile_i * tile_j > max_elems and tile_j > 128:
-        tile_j //= 2
-    while tile_i * tile_j > max_elems and tile_i > 8:
-        tile_i //= 2
-    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
-    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
-    pad_i = (-N_r) % tile_i
-    pad_j = (-N_c) % tile_j
+    tile_i, tile_j, pad_i, pad_j = _tile_geometry(
+        tile_i, tile_j, N_r, N_c, max_elems
+    )
     if pad_i or pad_j:
         # g zero-padded => every gradient contribution from padded
         # elements is exactly zero (dx = f(g)=0 pointwise).
@@ -548,9 +554,6 @@ def fused_pair_mlp_bwd(
     n_rows, n_cols = pair.shape[1], pair.shape[2]
     grid = (B, n_rows // tile_i, n_cols // tile_j)
 
-    full_spec = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
     tile4 = pl.BlockSpec(
         (1, tile_i, tile_j, c_in),
         lambda b, i, j: (b, i, j, 0),
@@ -561,33 +564,25 @@ def fused_pair_mlp_bwd(
         lambda b, i, j: (b, i, j, 0),
         memory_space=pltpu.VMEM,
     )
-    row_i = lambda c: pl.BlockSpec(  # noqa: E731
-        (1, tile_i, c), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-    )
-    row_j = lambda c: pl.BlockSpec(  # noqa: E731
-        (1, tile_j, c), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-    )
     batch_full = lambda *shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda b, i, j: (b,) + tuple(0 for _ in shape),
         memory_space=pltpu.VMEM,
     )
 
-    in_specs = [tile4, gtile, row_i(h), row_j(h)]
+    in_specs = [tile4, gtile, _row_i_spec(tile_i, h), _row_j_spec(tile_j, h)]
     args = [pair, g.astype(dtype), i0, j0]
     if residual:
-        in_specs += [row_i(c_out), row_j(c_out)]
+        in_specs += [_row_i_spec(tile_i, c_out), _row_j_spec(tile_j, c_out)]
         args += [fi2, fj2]
     in_specs += [
-        pl.BlockSpec(
-            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+        _row_i_spec(tile_i, 1),
         pl.BlockSpec(
             (1, 1, tile_j), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM
         ),
-        full_spec(c_in, h),
-        full_spec(h, h),
-        full_spec(1, h),
-        full_spec(h, c_out),
+        _full_spec(c_in, h),
+        _full_spec(h, h),
+        _full_spec(1, h),
+        _full_spec(h, c_out),
     ]
     args += [
         rmask.astype(dtype)[:, :, None],
@@ -598,12 +593,12 @@ def fused_pair_mlp_bwd(
         wf.astype(dtype),
     ]
     if residual:
-        in_specs.append(full_spec(c_in, c_out))
+        in_specs.append(_full_spec(c_in, c_out))
         args.append(wfe.astype(dtype))
     else:
-        in_specs.append(full_spec(1, c_out))
+        in_specs.append(_full_spec(1, c_out))
         args.append(bf.reshape(1, -1).astype(dtype))
-    in_specs += [full_spec(1, c_out)] * 2
+    in_specs += [_full_spec(1, c_out)] * 2
     args += [
         ln_scale.reshape(1, -1).astype(F32),
         ln_bias.reshape(1, -1).astype(F32),
@@ -625,19 +620,17 @@ def fused_pair_mlp_bwd(
     ]
     out_specs = [
         tile4,
-        row_i(h),
+        _row_i_spec(tile_i, h),
         batch_full(n_cols, h),
-        pl.BlockSpec(
-            (1, tile_i, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+        _row_i_spec(tile_i, 1),
         batch_full(1, n_cols),
-        full_spec(c_in, h),
-        full_spec(h, h),
-        full_spec(1, h),
-        full_spec(h, c_out),
-        full_spec(1, c_out),
-        full_spec(1, c_out),
-        full_spec(1, c_out),
+        _full_spec(c_in, h),
+        _full_spec(h, h),
+        _full_spec(1, h),
+        _full_spec(h, c_out),
+        _full_spec(1, c_out),
+        _full_spec(1, c_out),
+        _full_spec(1, c_out),
     ]
     if residual:
         out_shapes += [
@@ -646,9 +639,9 @@ def fused_pair_mlp_bwd(
             jax.ShapeDtypeStruct((c_in, c_out), F32),  # d_wfe
         ]
         out_specs += [
-            row_i(c_out),
+            _row_i_spec(tile_i, c_out),
             batch_full(n_cols, c_out),
-            full_spec(c_in, c_out),
+            _full_spec(c_in, c_out),
         ]
 
     flops_per_elem = 3 * 2 * (c_in * h + h * h + h * c_out)
@@ -759,6 +752,12 @@ def _trainable_bwd(tile_i, tile_j, interpret, bwd_impl, residuals, g):
     if bwd_impl == "pallas":
         return fused_pair_mlp_bwd(
             g, *residuals, tile_i=tile_i, tile_j=tile_j, interpret=interpret
+        )
+    if bwd_impl != "xla":
+        # Fail loudly: a typo'd value silently measuring the wrong backward
+        # would corrupt every train-path A/B comparison.
+        raise ValueError(
+            f"bwd_impl must be 'xla' or 'pallas', got {bwd_impl!r}"
         )
     _, vjp = jax.vjp(_xla_pair_mlp, *residuals)
     return vjp(g)

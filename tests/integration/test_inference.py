@@ -188,3 +188,40 @@ def test_async_writer_surfaces_errors_and_preserves_order(tmp_path):
     # drain cleared the queue even on error
     assert inf._write_futures == []
     inf._write_pool.shutdown(wait=True)
+
+
+def test_async_writer_bounds_pending_queue():
+    """_submit_write must block once _MAX_PENDING_WRITES futures are
+    pending (each pins a sample's trajectory arrays), instead of queueing
+    without limit on a slow disk."""
+    import threading
+    import time
+
+    inf = Inference.__new__(Inference)
+    inf._write_pool = None
+    inf._write_futures = []
+
+    gate = threading.Event()
+    done = []
+    inf._submit_write(gate.wait)  # worker blocks here
+    for i in range(inf._MAX_PENDING_WRITES - 1):
+        inf._submit_write(done.append, i)
+    assert len(inf._write_futures) == inf._MAX_PENDING_WRITES
+
+    submitted = threading.Event()
+
+    def oversubmit():
+        inf._submit_write(done.append, "late")
+        submitted.set()
+
+    t = threading.Thread(target=oversubmit)
+    t.start()
+    # The submit must be blocked while the worker is gated.
+    assert not submitted.wait(timeout=0.3)
+    gate.set()
+    assert submitted.wait(timeout=5.0)
+    t.join(timeout=5.0)
+    inf._drain_writes()
+    assert done == list(range(inf._MAX_PENDING_WRITES - 1)) + ["late"]
+    assert len(inf._write_futures) <= inf._MAX_PENDING_WRITES
+    inf._write_pool.shutdown(wait=True)

@@ -1,4 +1,6 @@
 """Pallas kernel correctness vs the XLA formulation (interpret mode on CPU)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -630,3 +632,29 @@ def test_edge_transition_pallas_bwd_gradients():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
         )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FRAMEDIPT_TPU_TESTS"),
+    reason="real-TPU smoke; set FRAMEDIPT_TPU_TESTS=1 on a TPU host",
+)
+def test_tpu_smoke_bwd_kernel():
+    """Mosaic-compile + run the fused backward at the production
+    EdgeTransition shape on the real backend (interpret mode never
+    exercises Mosaic lowering or the VMEM budget). Subprocess: the test
+    conftest pins this process to CPU."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = (
+        pathlib.Path(__file__).parent.parent.parent
+        / "scripts" / "tpu_smoke_bwd.py"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run(
+        [_sys.executable, str(script)],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS" in proc.stdout
