@@ -152,6 +152,43 @@ def main():
 
         rows[label + " (x3)"] = (timed_scan(run_et, p_et, (s, z, mask)), 3)
 
+    # Edge-transition value+grad: the training-path A/B for the backward.
+    #   et_grad_xla    — plain XLA module (saved-activation backward)
+    #   et_grad_remat  — kernel forward + remat-through-XLA-twin backward
+    #   et_grad_pallas — kernel forward + fused Pallas backward kernel
+    for label, use_pallas, bwd in (
+        ("et_grad_xla", False, "xla"),
+        ("et_grad_remat", True, "xla"),
+        ("et_grad_pallas", True, "pallas"),
+    ):
+        if not want(label):
+            continue
+        et_g = EdgeTransition(
+            node_embed_size=ipa_conf.c_s,
+            edge_embed_out=cfg.model.edge_embed_size,
+            dtype=DT,
+            use_pallas=use_pallas,
+            bwd_impl=bwd,
+        )
+        p_etg = et_g.init(ks[5], s, z, mask.astype(DT))
+
+        def run_etg(p, s, z, mask, i, _et=et_g):
+            def loss(pp):
+                out = _et.apply(
+                    pp, s + i * 1e-6, z + i.astype(z.dtype), mask.astype(DT)
+                )
+                return jnp.sum(out.astype(jnp.float32))
+
+            grads = jax.grad(loss)(p)
+            # Sum every leaf so no gradient is dead-code-eliminated.
+            return sum(
+                jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(grads)
+            )
+
+        rows[label + " (x3)"] = (
+            timed_scan(run_etg, p_etg, (s, z, mask)), 3
+        )
+
     # Sequence transformer layer (x8 = 4 blocks x 2 layers).
     if want("seq_tfmr"):
         d_model = ipa_conf.c_s + ipa_conf.c_skip
@@ -209,7 +246,9 @@ def driver(N):
     import subprocess
 
     comps = [
-        "embedder", "ipa", "et_xla", "et_pallas", "seq_tfmr", "node_transition"
+        "embedder", "ipa", "et_xla", "et_pallas",
+        "et_grad_xla", "et_grad_remat", "et_grad_pallas",
+        "seq_tfmr", "node_transition",
     ]
     print(f"N={N} B=1 dtype=bf16 (ms per single call, in-scan; slope method)")
     for comp in comps:
