@@ -338,3 +338,53 @@ def test_dp_mesh_sharded_step():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_train_step_pallas_bwd_matches_xla():
+    """One full train step (noising + forward + DSM losses + Adam update)
+    through the fused Pallas backward (pallas_bwd_impl='pallas', interpret)
+    must produce the same loss and updated parameters as the plain XLA
+    path from identical params/batch/key — the whole-training-step
+    equivalence of the kernel backward, beyond per-module grad parity."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = tiny_cfg()
+    # tiny_cfg uses num_blocks=1, which has NO edge transition (they sit
+    # between blocks) — 2 blocks puts one kernel call on the path.
+    cfg.model.ipa.num_blocks = 2
+    diffuser = SE3Diffuser(cfg.diffuser)
+    batch = make_batch()
+    key = jax.random.PRNGKey(3)
+
+    model_xla = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+    optimizer = make_optimizer(cfg.experiment.learning_rate)
+    state = init_train_state(model_xla, optimizer, batch, jax.random.PRNGKey(0))
+    step_xla = jax.jit(build_train_step(model_xla, diffuser, cfg, optimizer))
+    new_xla, m_xla = step_xla(state, batch, key)
+
+    mc = dataclasses.replace(cfg.model)
+    mc.ipa = dataclasses.replace(
+        cfg.model.ipa,
+        use_pallas_kernel=True,
+        pallas_bwd_impl="pallas",
+        pallas_interpret=True,
+        pallas_tile_i=8,
+        pallas_tile_j=128,
+    )
+    model_pallas = ScoreNetwork(mc, diffuser, inpainting=True)
+    step_pallas = jax.jit(build_train_step(model_pallas, diffuser, cfg, optimizer))
+    with pltpu.force_tpu_interpret_mode():
+        new_pallas, m_pallas = step_pallas(state, batch, key)
+
+    np.testing.assert_allclose(
+        float(m_pallas["loss"]), float(m_xla["loss"]), rtol=1e-5
+    )
+    flat_x = jax.tree_util.tree_leaves(new_xla.params)
+    flat_p = jax.tree_util.tree_leaves(new_pallas.params)
+    assert len(flat_x) == len(flat_p)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
