@@ -447,26 +447,40 @@ def _pair_mlp_bwd_kernel(residual: bool, *refs):
     gf = g_ref[0].astype(F32)  # [ti, tj, c_out]
     gm = gf * emask[:, :, None]
 
-    # mask grads (through out = yln * emask)
-    dem = jnp.sum(yln * gf, axis=-1)  # [ti, tj]
-    drm_ref[0] += jnp.sum(dem * cmask, axis=1, keepdims=True)  # [ti, 1]
-    dcm_ref[0, :, pl.ds(col_off, tj)] += jnp.sum(
-        dem * rmask, axis=0, keepdims=True
-    )  # [1, tj]
-
-    # LayerNorm backward (biased variance, eps inside rsqrt)
-    dlns_ref[...] += jnp.sum(gm * xhat, axis=(0, 1)).reshape(1, c_out)
-    dlnb_ref[...] += jnp.sum(gm, axis=(0, 1)).reshape(1, c_out)
-    dxhat = gm * s
-    mu1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    mu2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx = (dxhat - mu1 - xhat * mu2) * inv  # [ti, tj, c_out] f32
-    dxd = dx.astype(dtype).reshape(m, c_out)
+    # Mosaic cannot lower a vector.multi_reduction whose output is rank-1
+    # (round-3 on-chip regression: "Unsupported output implicit dimension"
+    # on vector<16x128xf32> -> vector<128xf32>; keepdims does not help,
+    # jnp lowers it to the same reduce + reshape). Every reduction that
+    # would produce a rank-1 vector is therefore expressed as an MXU dot
+    # against a ones column: [m, c] -> [1, c] and [ti, tj] -> [ti, 1].
+    ones_m = jnp.ones((m, 1), F32)
+    ones_ti = jnp.ones((ti, 1), F32)
+    ones_tj = jnp.ones((tj, 1), F32)
 
     def _t_dot(a, b):  # [m, p] x [m, q] -> [p, q], f32 accumulation
         return jax.lax.dot_general(
             a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
         )
+
+    def _colsum(x):  # [m, c] -> [1, c]: sublane sum via the MXU
+        return _t_dot(ones_m, x)
+
+    # mask grads (through out = yln * emask)
+    dem = jnp.sum(yln * gf, axis=-1)  # [ti, tj]
+    drm_ref[0] += jax.lax.dot_general(
+        dem * cmask, ones_tj, (((1,), (0,)), ((), ())),
+        preferred_element_type=F32,
+    )  # [ti, 1]
+    dcm_ref[0, :, pl.ds(col_off, tj)] += _t_dot(ones_ti, dem * rmask)
+
+    # LayerNorm backward (biased variance, eps inside rsqrt)
+    dlns_ref[...] += _colsum((gm * xhat).reshape(m, c_out))
+    dlnb_ref[...] += _colsum(gm.reshape(m, c_out))
+    dxhat = gm * s
+    mu1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mu2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - mu1 - xhat * mu2) * inv  # [ti, tj, c_out] f32
+    dxd = dx.astype(dtype).reshape(m, c_out)
 
     def _nt_dot(a, w):  # [m, p] x [q, p] -> [m, q] (i.e. a @ w.T)
         return jax.lax.dot_general(
@@ -475,7 +489,7 @@ def _pair_mlp_bwd_kernel(residual: bool, *refs):
 
     # final projection
     dwf_ref[...] += _t_dot(y1, dxd)
-    dbf_ref[...] += jnp.sum(dx, axis=(0, 1)).reshape(1, c_out)
+    dbf_ref[...] += _colsum(dx.reshape(m, c_out))
     if residual:
         dwfe_ref[...] += _t_dot(pair, dxd)
         dfi_ref[0] += jnp.sum(dx, axis=1)  # [ti, c_out]
@@ -483,13 +497,15 @@ def _pair_mlp_bwd_kernel(residual: bool, *refs):
 
     # second layer
     dy1 = _nt_dot(dxd, wf_ref[:]).astype(dtype)
-    dy1 = dy1 * (y1 > 0).astype(dtype)  # relu'(0) = 0, as jax.nn.relu
-    db1_ref[...] += jnp.sum(dy1.astype(F32), axis=0).reshape(1, h)
+    # relu'(0) = 0, as jax.nn.relu; compare in f32 — v5e Mosaic rejects
+    # bf16 vector cmpf ("Target does not support this comparison").
+    dy1 = dy1 * (y1.astype(F32) > 0).astype(dtype)
+    db1_ref[...] += _colsum(dy1.astype(F32))
     dw1_ref[...] += _t_dot(y0, dy1)
 
     # first layer
     dy0 = _nt_dot(dy1, w1_ref[:]).astype(dtype)
-    dy0 = dy0 * (y0 > 0).astype(dtype)  # [m, h]
+    dy0 = dy0 * (y0.astype(F32) > 0).astype(dtype)  # [m, h]
     dw0_ref[...] += _t_dot(pair, dy0)
     dy03 = dy0.reshape(ti, tj, h).astype(F32)
     di0_ref[0] += jnp.sum(dy03, axis=1)  # [ti, h]
