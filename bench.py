@@ -245,12 +245,21 @@ def main() -> None:
 
     results: dict[str, object] = {}
 
+    def _record_failure(name: str, e: Exception) -> None:
+        # A variant that raises (e.g. a Mosaic compile failure) must be
+        # visible in the JSON itself, not only on stderr: round-3's
+        # pallas_bwd compile regression was invisible in BENCH_r03.json
+        # because the variant was silently omitted.
+        msg = f"{type(e).__name__}: {e}"
+        results[name] = {"error": msg[:500]}
+        print(f"{name} failed: {msg}", file=sys.stderr)
+
     # f32 reference point (single variant, no pair).
     try:
         results["len256_f32"] = bench_single(256, 100, "float32", False)
         print(f"len256_f32: {results['len256_f32']}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"len256_f32 failed: {e}", file=sys.stderr)
+        _record_failure("len256_f32", e)
 
     # Interleaved kernel A/B at each production length.
     for name, (num_res, num_t) in {
@@ -264,7 +273,7 @@ def main() -> None:
             results[f"{name}_bf16_pallas"] = pair["pallas"]
             print(f"{name} A/B: {pair}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"{name} A/B failed: {e}", file=sys.stderr)
+            _record_failure(f"{name}_bf16_ab_pair", e)
 
     # The 5-sample TCR protocol as one batched scan (per-batch steps/s;
     # multiply by 5 for sample-steps/s).
@@ -277,7 +286,7 @@ def main() -> None:
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"len256_bf16_pallas_batch5 failed: {e}", file=sys.stderr)
+        _record_failure("len256_bf16_pallas_batch5", e)
 
     # Training path (examples/s, dispatch-free slope): XLA saved-activation
     # backward vs fused pair-MLP forward + fused backward kernel.
@@ -289,12 +298,14 @@ def main() -> None:
             results[name] = bench_train_step(use_pallas=use_pallas)
             print(f"{name}: {results[name]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"{name} failed: {e}", file=sys.stderr)
+            _record_failure(name, e)
 
+    # vs_baseline is computed from succeeded variants only.
     len256 = [
         v["median"]
         for k, v in results.items()
-        if k.startswith("len256") and "batch" not in k and isinstance(v, dict)
+        if k.startswith("len256") and "batch" not in k
+        and isinstance(v, dict) and "median" in v
     ]
     if not len256:
         # Every len-256 variant failed: still emit the one JSON line the
@@ -314,17 +325,20 @@ def main() -> None:
         )
         return
     best256 = max(len256)
-    print(
-        json.dumps(
-            {
-                "metric": "diffusion_steps_per_sec_len256",
-                "value": best256,
-                "unit": "steps/s",
-                "vs_baseline": round(best256 / TARGET_STEPS_PER_SEC, 3),
-                "variants": results,
-            }
-        )
+    failed = sorted(
+        k for k, v in results.items()
+        if isinstance(v, dict) and "error" in v
     )
+    line: dict[str, object] = {
+        "metric": "diffusion_steps_per_sec_len256",
+        "value": best256,
+        "unit": "steps/s",
+        "vs_baseline": round(best256 / TARGET_STEPS_PER_SEC, 3),
+        "variants": results,
+    }
+    if failed:
+        line["failed_variants"] = failed
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -237,12 +237,19 @@ def train(cfg: Config) -> None:
             logger.info(f"use_ckpt_conf: model/diffuser config from {ckpt}")
     diffuser = SE3Diffuser(cfg.diffuser)
     if cfg.model.ipa.use_pallas_kernel is None:
-        # Auto mode enables the kernel for inference only (inference.py);
-        # training defaults to the XLA formulation — flip the flag to true
-        # explicitly to train through the fused kernel (differentiable via
-        # a rematerialized backward; see model/pallas/pair_mlp.py).
-        cfg.model.ipa.use_pallas_kernel = False
+        # Auto mode: train through the fused pair-MLP kernel on TPU
+        # backends. Measured on the v5e (round 4): with the fused Pallas
+        # backward (pallas_bwd_impl default) the whole train step runs
+        # 181.5 vs 147.2 examples/s (+23%) over the XLA formulation at
+        # B=4 N=256 bf16. CPU runs keep the XLA formulation.
+        import jax.numpy as jnp
+
+        on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
+        cfg.model.ipa.use_pallas_kernel = on_tpu
+        if on_tpu:
+            logger.info("fused Pallas pair-MLP kernel enabled for training")
     if cfg.model.ipa.use_pallas_embedder is None:
+        # Forward-only kernel: training always uses the XLA formulation.
         cfg.model.ipa.use_pallas_embedder = False
     if cfg.model.ipa.use_pallas_ipa is None:
         # Forward-only kernel: training always uses the XLA formulation.

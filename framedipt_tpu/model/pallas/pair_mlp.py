@@ -673,6 +673,11 @@ def fused_pair_mlp_bwd(
             # Sequential grid: the reduced outputs accumulate in their
             # VMEM-resident blocks across revisiting iterations.
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # The default 16 MiB scoped-vmem limit is 72 KiB short of this
+            # kernel's stack at the training shape (B=4, N=256, ti=16);
+            # v5e has 128 MiB VMEM, so grant headroom instead of shrinking
+            # the measured-fastest tiles.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=B * n_rows * n_cols * flops_per_elem,

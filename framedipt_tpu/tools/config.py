@@ -112,7 +112,11 @@ class IPAConfig:
     # through: "xla" remats through the identical-math XLA twin; "pallas"
     # runs the fused backward kernel (forward recompute + all input grads
     # tile-resident, grid-reduced grads accumulated f32 in VMEM).
-    pallas_bwd_impl: str = "xla"
+    # Default set by measurement on the v5e (round 4): whole train step
+    # 181.5 vs 147.2 examples/s (+23%) over the saved-activation XLA
+    # backward at B=4 N=256 bf16; edge-transition value+grad component
+    # 9.0 vs 13.5 ms/fwd at N=512 (see PERF.md backward A/B table).
+    pallas_bwd_impl: str = "pallas"
     # Run Pallas kernels in interpret mode (CPU-mesh tests only).
     pallas_interpret: bool = False
 
