@@ -27,6 +27,7 @@ def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    initialization_timeout: int | None = None,
 ) -> None:
     """Multi-host initialization for TPU pods (call once before make_mesh).
 
@@ -42,6 +43,12 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    if initialization_timeout is not None:
+        # Coordination-service connect budget: the jax default (300 s) can
+        # flake when the machine is fully loaded and the coordinator
+        # process is slow to start (observed in full-suite runs under
+        # concurrent TPU load).
+        kwargs.update(initialization_timeout=initialization_timeout)
     jax.distributed.initialize(**kwargs)
 
 

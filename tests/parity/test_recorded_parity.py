@@ -94,5 +94,35 @@ def test_recorded_trajectory_ca_rmsd(recorded):
     assert ca_rmsd < 0.1, f"CA-RMSD {ca_rmsd:.3f} A vs recorded trajectory"
 
 
+def test_recorded_trajectory100_ca_rmsd(recorded):
+    """Published-protocol (num_t=100, ref config/inference.yaml:31)
+    deterministic trajectory vs the recorded torch reference: bounds
+    sampler drift at trajectory level, every step, not just the 5-step
+    endpoint (VERDICT r3 #9)."""
+    _, diffuser, model, params, feats, npz = recorded
+    ref_traj = npz["traj100::ca_traj"]  # [T, N, 3], index 0 = final
+    num_t = ref_traj.shape[0]
+    run = build_inference_fn(
+        model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.0,
+        aux_traj=False, inpainting=True,
+    )
+    out = run(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        {k: jnp.asarray(v) for k, v in feats.items()},
+        jax.random.PRNGKey(0),
+    )
+    my_traj = np.asarray(out["prot_traj"])[:, 0, :, 1]  # [T, N, 3]
+    assert my_traj.shape == ref_traj.shape, (my_traj.shape, ref_traj.shape)
+    per_step = np.sqrt(
+        np.mean(np.sum((ref_traj - my_traj) ** 2, axis=-1), axis=-1)
+    )
+    final = float(per_step[0])
+    worst = float(per_step.max())
+    assert final < 0.1, f"final CA-RMSD {final:.3f} A at num_t=100"
+    assert worst < 0.15, (
+        f"worst per-step CA-RMSD {worst:.3f} A (step {per_step.argmax()})"
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
