@@ -178,7 +178,16 @@ class Embedder(nn.Module):
         i_term = prot_c @ w0[:c_t]
         j_term = prot_c @ w0[c_t : 2 * c_t]
 
-        if self.use_pallas and embed_conf.embed_self_conditioning:
+        use_kernel = self.use_pallas and embed_conf.embed_self_conditioning
+        sp_ctx = sp.active()
+        if use_kernel and sp_ctx is not None:
+            mesh_, axis_ = sp_ctx
+            if seq_idx.shape[1] % mesh_.shape[axis_]:
+                # shard_map needs equal row shards; ragged lengths fall back
+                # to the GSPMD XLA formulation below (same policy as the
+                # edge-transition kernel in model/ipa.py).
+                use_kernel = False
+        if use_kernel:
             # Fully-fused kernel: rel-offset sinusoids synthesized in-kernel
             # from rank-64 CP factors (angle addition) and the distogram from
             # in-kernel pairwise distances, so the [N, N, 54] pairwise
@@ -204,18 +213,22 @@ class Embedder(nn.Module):
                 embed_conf.min_bin, embed_conf.max_bin, embed_conf.num_bins
             )
             upper = np.concatenate([lower[1:], [1e8]])
-            edge_embed = fused_edge_embedder_trainable(
+            statics = (
                 tuple(float(x) for x in lower),
                 tuple(float(x) for x in upper),
                 self.conf.ipa.pallas_emb_tile_i,
                 self.conf.ipa.pallas_emb_tile_j,
-                False,
+                bool(getattr(self.conf.ipa, "pallas_interpret", False)),
+            )
+            kernel_args = (
                 g.astype(dtype),
                 h.astype(dtype),
-                self_conditioning_ca,
+                self_conditioning_ca,  # row-side coordinates
+                self_conditioning_ca,  # col-side coordinates
                 i_term,
                 j_term,
-                mask.astype(dtype),
+                mask.astype(dtype),  # row mask
+                mask.astype(dtype),  # col mask
                 w_rel,
                 w_dist,
                 b0.astype(dtype),
@@ -226,6 +239,39 @@ class Embedder(nn.Module):
                 ln_scale,
                 ln_bias,
             )
+            if sp_ctx is None:
+                edge_embed = fused_edge_embedder_trainable(
+                    *statics, *kernel_args
+                )
+                return node_embed, edge_embed
+            # Sequence parallelism: every kernel input is O(N), so the row-
+            # indexed ones (CP row factor, row coordinates/node term/mask)
+            # ride the local shard while the column-indexed ones stay full,
+            # and each device computes its own [B, N/sp, N, C] row block —
+            # the same rows-local/columns-full shard_map pattern as the
+            # pair-MLP kernel (model/ipa.py; VERDICT r3 #6).
+            mesh, axis = sp_ctx
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            row3 = P(sp.DP_AXIS, axis, None)
+            col3 = P(sp.DP_AXIS, None, None)
+            rep = P()
+            in_specs = (
+                row3, col3,                 # g rows local, h cols full
+                row3, col3,                 # row / col coordinates
+                row3, col3,                 # i_term local, j_term full
+                P(sp.DP_AXIS, axis),        # row mask: local shard
+                P(sp.DP_AXIS, None),        # col mask: full
+                rep, rep, rep, rep, rep, rep, rep, rep, rep,  # weights
+            )
+            edge_embed = shard_map(
+                lambda *a: fused_edge_embedder_trainable(*statics, *a),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=P(sp.DP_AXIS, axis, None, None),
+                check_vma=False,
+            )(*kernel_args)
             return node_embed, edge_embed
 
         # Under sequence parallelism the pairwise features are row-sharded

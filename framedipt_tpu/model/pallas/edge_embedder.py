@@ -145,12 +145,14 @@ def _edge_embedder_kernel(
     ),
 )
 def fused_edge_embedder(
-    g: jnp.ndarray,  # [B, N, 4K] rel CP row factor
-    h: jnp.ndarray,  # [B, N, 4K] rel CP col factor
-    pos: jnp.ndarray,  # [B, N, 3] f32 self-conditioning CA coordinates
-    i_term: jnp.ndarray,  # [B, N, C] first-layer row node term
-    j_term: jnp.ndarray,  # [B, N, C] first-layer col node term
-    node_mask: jnp.ndarray,  # [B, N]
+    g: jnp.ndarray,  # [B, Nr, 4K] rel CP row factor
+    h: jnp.ndarray,  # [B, Nc, 4K] rel CP col factor
+    pos_rows: jnp.ndarray,  # [B, Nr, 3] f32 self-conditioning CA (row side)
+    pos_cols: jnp.ndarray,  # [B, Nc, 3] f32 self-conditioning CA (col side)
+    i_term: jnp.ndarray,  # [B, Nr, C] first-layer row node term
+    j_term: jnp.ndarray,  # [B, Nc, C] first-layer col node term
+    row_mask: jnp.ndarray,  # [B, Nr]
+    col_mask: jnp.ndarray,  # [B, Nc]
     w_rel: jnp.ndarray,  # [4K, C] (pre-expanded, see expand_w_rel)
     w_dist: jnp.ndarray,  # [n_bins, C]
     b0: jnp.ndarray,  # [C]
@@ -167,8 +169,14 @@ def fused_edge_embedder(
     tile_j: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Masked-LayerNorm embedder edge output, [B, N, N, C]."""
-    B, N, cp = g.shape
+    """Masked-LayerNorm embedder edge output, [B, Nr, Nc, C].
+
+    Rows and columns are independent inputs (Nr may differ from Nc) so a
+    sequence-parallel caller can run the kernel on its local row shard
+    against the full column set (rows local, columns full — the same
+    shard_map pattern as the pair-MLP kernel in model/ipa.py)."""
+    B, N_r, cp = g.shape
+    N_c = h.shape[1]
     c = w_rel.shape[1]
     n_bins = w_dist.shape[0]
     dtype = g.dtype
@@ -199,10 +207,10 @@ def fused_edge_embedder(
             tile_j //= 2
         while tile_i * tile_j > 2048 and tile_i > 8:
             tile_i //= 2
-    tile_j = min(tile_j, max(128, -(-N // 128) * 128))
-    tile_i = min(tile_i, max(8, -(-N // 8) * 8))
-    pad_i = (-N) % tile_i
-    pad_j = (-N) % tile_j
+    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
+    pad_i = (-N_r) % tile_i
+    pad_j = (-N_c) % tile_j
     if pad_i:
         g = jnp.pad(g, ((0, 0), (0, pad_i), (0, 0)))
         i_term = jnp.pad(i_term, ((0, 0), (0, pad_i), (0, 0)))
@@ -215,15 +223,16 @@ def fused_edge_embedder(
     # fine ONLY because every output element depends on its own (i, j) pair
     # alone and the padded rows/cols are sliced off below; nothing may rely
     # on padded pairs being bin-free.
-    pos32 = pos.astype(F32)
     pos_r = jnp.pad(
-        pos32, ((0, 0), (0, pad_i), (0, 0)), constant_values=1e6
+        pos_rows.astype(F32), ((0, 0), (0, pad_i), (0, 0)),
+        constant_values=1e6,
     )
     pos_c = jnp.pad(
-        pos32, ((0, 0), (0, pad_j), (0, 0)), constant_values=1e6
+        pos_cols.astype(F32), ((0, 0), (0, pad_j), (0, 0)),
+        constant_values=1e6,
     )
-    rmask = jnp.pad(node_mask, ((0, 0), (0, pad_i))) if pad_i else node_mask
-    cmask = jnp.pad(node_mask, ((0, 0), (0, pad_j))) if pad_j else node_mask
+    rmask = jnp.pad(row_mask, ((0, 0), (0, pad_i))) if pad_i else row_mask
+    cmask = jnp.pad(col_mask, ((0, 0), (0, pad_j))) if pad_j else col_mask
     n_rows, n_cols = g.shape[1], h.shape[1]
 
     grid = (B, n_rows // tile_i, n_cols // tile_j)
@@ -311,12 +320,12 @@ def fused_edge_embedder(
         interpret=interpret,
     )(*args)
     if pad_i or pad_j:
-        out = out[:, :N, :N, :]
+        out = out[:, :N_r, :N_c, :]
     return out
 
 
 def _xla_edge_embedder(
-    g, h, pos, i_term, j_term, node_mask,
+    g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
     w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
     bins_lower, bins_upper,
 ):
@@ -327,7 +336,10 @@ def _xla_edge_embedder(
     m = g[:, :, None, :] * h[:, None, :, :]
     x = jnp.einsum("bijk,kc->bijc", m, w_rel.astype(dtype),
                    preferred_element_type=dtype)
-    diff = pos.astype(F32)[:, :, None, :] - pos.astype(F32)[:, None, :, :]
+    diff = (
+        pos_rows.astype(F32)[:, :, None, :]
+        - pos_cols.astype(F32)[:, None, :, :]
+    )
     d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     lower = jnp.asarray(bins_lower, F32)
     upper = jnp.asarray(bins_upper, F32)
@@ -347,7 +359,7 @@ def _xla_edge_embedder(
     centered = x32 - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     normed = centered * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
-    emask = node_mask[:, :, None] * node_mask[:, None, :]
+    emask = row_mask[:, :, None] * col_mask[:, None, :]
     return (normed * emask[..., None].astype(F32)).astype(dtype)
 
 
@@ -356,14 +368,14 @@ def _xla_edge_embedder(
 )
 def fused_edge_embedder_trainable(
     bins_lower, bins_upper, tile_i, tile_j, interpret,
-    g, h, pos, i_term, j_term, node_mask,
+    g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
     w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
 ):
     """Differentiable fused edge embedder: Pallas forward, backward via the
     VJP of the numerically identical XLA twin rematerialized from the O(N)
     inputs (the [N, N, C] intermediates are never saved to HBM)."""
     return fused_edge_embedder(
-        g, h, pos, i_term, j_term, node_mask,
+        g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
         w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
         bins_lower=bins_lower, bins_upper=bins_upper,
         tile_i=tile_i, tile_j=tile_j, interpret=interpret,

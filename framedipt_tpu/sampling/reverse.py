@@ -53,19 +53,19 @@ def build_inference_fn(
     rows against the in-model sharding constraints and inserts collectives.
     Incompatible with the single-chip Pallas kernel path.
     """
-    # The edge-transition kernel (use_pallas_kernel) is sp-aware: under an
-    # active sp context EdgeTransition runs it per-shard via shard_map on
-    # each device's local row block (model/ipa.py). The embedder and IPA
-    # kernels are not, so they still require the XLA formulation under sp.
-    if sp_mesh is not None and (
-        bool(getattr(model.conf.ipa, "use_pallas_embedder", False))
-        or bool(getattr(model.conf.ipa, "use_pallas_ipa", False))
+    # The edge-transition and embedder kernels are sp-aware: under an
+    # active sp context they run per-shard via shard_map on each device's
+    # local row block (model/ipa.py, model/embed.py — rows local, columns
+    # full). The fused IPA attention kernel is not (it is a flag-gated
+    # reference implementation that loses to XLA anyway, PERF.md), so it
+    # still requires the XLA formulation under sp.
+    if sp_mesh is not None and bool(
+        getattr(model.conf.ipa, "use_pallas_ipa", False)
     ):
         raise ValueError(
             "sequence parallelism (sp_mesh) supports the Pallas edge-"
-            "transition kernel (via shard_map) but not the fused embedder/"
-            "IPA kernels; set model.ipa.use_pallas_embedder=False and "
-            "model.ipa.use_pallas_ipa=False"
+            "transition and embedder kernels (via shard_map) but not the "
+            "fused IPA attention kernel; set model.ipa.use_pallas_ipa=False"
         )
     reverse_steps = jnp.asarray(
         np.linspace(min_t, 1.0, num_t)[::-1].copy(), jnp.float32

@@ -41,7 +41,13 @@ TIMED_CALLS = 6
 def _flops_per_step(run, params, feats, num_t: int) -> float | None:
     """FLOPs of one diffusion step from the compiled module's own cost
     analysis (the whole scan divided by num_t). Returns None where the
-    backend does not expose the counter."""
+    backend does not expose the counter.
+
+    NOTE: must be called on the XLA (use_pallas=False) program — the
+    counter does not include FLOPs inside Pallas custom calls, so the
+    kernel variant under-reports by ~10x (observed: 2.5 vs ~27 GFLOP/step
+    at len-256). The math is identical across variants, so the XLA count
+    is the right numerator for the kernel variant's MFU too."""
     try:
         compiled = (
             jax.jit(run)
@@ -79,11 +85,18 @@ def main() -> None:
                            jax.random.PRNGKey(base + 1000 * b + i))
             )
 
+    # FLOP count from the XLA twin at B=1 (the counter is blind to Pallas
+    # custom-call interiors — see _flops_per_step); exact linear scaling
+    # in B since every op is batched.
+    flops_b1 = _flops_per_step(
+        *_build_sampler(num_res, num_t, "bfloat16", False, 1), num_t
+    )
+
     rows = []
     for b in batches:
         ms = sorted(1e3 * t / num_t for t in times[b])
         med = statistics.median(ms)
-        flops = _flops_per_step(*progs[b], num_t)
+        flops = flops_b1 * b if flops_b1 else None
         rows.append({
             "batch": b,
             "ms_per_step": round(med, 3),

@@ -102,31 +102,31 @@ def test_sp_context_is_identity_when_inactive():
 
 
 def test_sp_rejects_unsupported_pallas_kernels():
-    """The embedder/IPA kernels are not sp-aware (only the edge-transition
-    kernel runs per-shard via shard_map)."""
+    """The fused IPA attention kernel is not sp-aware (the edge-transition
+    and embedder kernels run per-shard via shard_map)."""
     import dataclasses
 
     diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
     mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
-    for flag in ("use_pallas_embedder", "use_pallas_ipa"):
-        mc = dataclasses.replace(SMALL_MODEL)
-        mc.ipa = dataclasses.replace(SMALL_MODEL.ipa, **{flag: True})
-        model = ScoreNetwork(mc, diffuser, inpainting=True)
-        with pytest.raises(ValueError, match="use_pallas_embedder"):
-            build_inference_fn(
-                model, diffuser, num_t=3, min_t=0.01, inpainting=True,
-                sp_mesh=mesh,
-            )
+    mc = dataclasses.replace(SMALL_MODEL)
+    mc.ipa = dataclasses.replace(SMALL_MODEL.ipa, use_pallas_ipa=True)
+    model = ScoreNetwork(mc, diffuser, inpainting=True)
+    with pytest.raises(ValueError, match="use_pallas_ipa"):
+        build_inference_fn(
+            model, diffuser, num_t=3, min_t=0.01, inpainting=True,
+            sp_mesh=mesh,
+        )
 
 
 def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
-    """VERDICT r2 item 5: under sp the edge-transition Pallas kernel runs
-    per shard via shard_map (rows local, columns full) instead of being
-    forfeited for XLA. Asserts (a) the kernel really executes once per
-    shard on [N/sp, N] row blocks and (b) the sp=4 trajectory matches the
-    single-device XLA sampler."""
+    """VERDICT r2 item 5 + r3 item 6: under sp BOTH the edge-transition and
+    the embedder Pallas kernels run per shard via shard_map (rows local,
+    columns full) instead of being forfeited for XLA. Asserts (a) each
+    kernel really executes once per shard on [N/sp, N] row blocks and
+    (b) the sp=4 trajectory matches the single-device XLA sampler."""
     import dataclasses
 
+    from framedipt_tpu.model.pallas import edge_embedder as emb_mod
     from framedipt_tpu.model.pallas import pair_mlp as pair_mlp_mod
 
     diffuser = SE3Diffuser(DiffuserConfig(so3=SMALL_SO3))
@@ -143,7 +143,8 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
 
     mc = dataclasses.replace(SMALL_MODEL)
     mc.ipa = dataclasses.replace(
-        SMALL_MODEL.ipa, use_pallas_kernel=True, pallas_interpret=True
+        SMALL_MODEL.ipa, use_pallas_kernel=True, use_pallas_embedder=True,
+        pallas_interpret=True,
     )
     pallas_model = ScoreNetwork(mc, diffuser, inpainting=True)
 
@@ -156,6 +157,16 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
 
     monkeypatch.setattr(pair_mlp_mod, "fused_pair_mlp_trainable", spy)
 
+    emb_shapes = []
+    emb_orig = emb_mod.fused_edge_embedder_trainable
+
+    def emb_spy(*a):
+        # diff args start at index 5 (g is the first array argument).
+        emb_shapes.append((tuple(a[5].shape), tuple(a[6].shape)))
+        return emb_orig(*a)
+
+    monkeypatch.setattr(emb_mod, "fused_edge_embedder_trainable", emb_spy)
+
     mesh = make_sp_mesh(sp_size=4, dp_size=1, devices=jax.devices("cpu")[:4])
     run_sp = build_inference_fn(
         pallas_model, diffuser, num_t=2, min_t=0.01, noise_scale=0.1,
@@ -167,6 +178,11 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
     # shard — the custom call is per-shard, not global.
     assert shard_shapes, "pallas kernel was never invoked under sp"
     assert all(s[1] == N // 4 and s[2] == N for s in shard_shapes), shard_shapes
+    # The embedder kernel too: row CP factor g local, col factor h full.
+    assert emb_shapes, "embedder kernel was never invoked under sp"
+    assert all(
+        gs[1] == N // 4 and hs[1] == N for gs, hs in emb_shapes
+    ), emb_shapes
 
     np.testing.assert_allclose(
         np.asarray(out_sp["prot_traj"]),
