@@ -125,7 +125,8 @@ def bench_single(num_res: int, num_t: int, compute_dtype: str,
 
 def bench_train_step(batch: int = 4, num_res: int = 256,
                      compute_dtype: str = "bfloat16",
-                     use_pallas: bool = False) -> dict:
+                     use_pallas: bool = False,
+                     use_pallas_embedder: bool = False) -> dict:
     """Full fused train step (noising + fwd + DSM losses + Adam update) at
     the published model size; reported as examples/s via the two-length
     scan slope (cancels the ~30 ms dispatch exactly — single-call timings
@@ -141,12 +142,16 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
     )
 
     cfg, diffuser, model = _make_model()
-    if compute_dtype != "float32" or use_pallas:
+    if compute_dtype != "float32" or use_pallas or use_pallas_embedder:
         mc = dataclasses.replace(cfg.model, compute_dtype=compute_dtype)
         if use_pallas:
             mc.ipa = dataclasses.replace(
                 mc.ipa, use_pallas_kernel=True, pallas_bwd_impl="pallas"
             )
+        if use_pallas_embedder:
+            # Forward = fused embedder kernel; backward = VJP of the XLA
+            # twin rematerialized from the O(N) inputs.
+            mc.ipa = dataclasses.replace(mc.ipa, use_pallas_embedder=True)
         model = ScoreNetwork(mc, diffuser, inpainting=True)
     feats = _make_feats(batch, num_res)
     batch_dict = {

@@ -38,26 +38,63 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 TIMED_CALLS = 6
 
 
-def _flops_per_step(run, params, feats, num_t: int) -> float | None:
-    """FLOPs of one diffusion step from the compiled module's own cost
-    analysis (the whole scan divided by num_t). Returns None where the
-    backend does not expose the counter.
+def _fwd_flops(num_res: int, batch: int = 1) -> float | None:
+    """FLOPs of ONE score-network forward (= one diffusion step's compute;
+    the initial self-conditioning forward amortizes over num_t) from XLA's
+    own cost analysis of the unrolled apply.
 
-    NOTE: must be called on the XLA (use_pallas=False) program — the
-    counter does not include FLOPs inside Pallas custom calls, so the
-    kernel variant under-reports by ~10x (observed: 2.5 vs ~27 GFLOP/step
-    at len-256). The math is identical across variants, so the XLA count
-    is the right numerator for the kernel variant's MFU too."""
+    Two counter pitfalls this sidesteps (both observed on this repo):
+    - lax.scan bodies are counted ONCE, not trip-count times, so analyzing
+      the whole sampler under-reports ~50x at num_t=100;
+    - FLOPs inside Pallas custom calls are invisible, so the kernel
+      variant under-reports ~12x. The XLA formulation computes identical
+      math, so its count is the right MFU numerator for every variant."""
     try:
-        compiled = (
-            jax.jit(run)
-            .lower(params, feats, jax.random.PRNGKey(0))
-            .compile()
+        import numpy as np
+
+        from framedipt_tpu.diffusion import SE3Diffuser
+        from framedipt_tpu.model import ScoreNetwork
+        from framedipt_tpu.tools.config import Config, SO3Config
+
+        cfg = Config()
+        cfg.diffuser.so3 = SO3Config(num_omega=50, num_sigma=20,
+                                     cache_dir=None)
+        diffuser = SE3Diffuser(cfg.diffuser)
+        model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+        B, N = batch, num_res
+        rng = np.random.default_rng(0)
+        qs = rng.normal(size=(B, N, 4)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+        import jax.numpy as jnp
+
+        feats = {
+            "res_mask": jnp.ones((B, N)),
+            "fixed_mask": jnp.zeros((B, N)),
+            "seq_idx": jnp.tile(jnp.arange(N)[None], (B, 1)),
+            "t": jnp.full((B,), 0.5),
+            "sc_ca_t": jnp.zeros((B, N, 3)),
+            "rigids_t": jnp.asarray(np.concatenate(
+                [qs, rng.normal(size=(B, N, 3)).astype(np.float32)], -1)),
+            "torsion_angles_sin_cos": jnp.asarray(
+                rng.normal(size=(B, N, 7, 2)).astype(np.float32)),
+            "aatype": jnp.asarray(
+                rng.integers(0, 20, size=(B, N)), jnp.int32),
+            "rot_score_scaling": jnp.ones((B,)),
+            "trans_score_scaling": jnp.ones((B,)),
+        }
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), feats)
         )
-        analysis = compiled.cost_analysis()
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), params
+        )
+        analysis = (
+            jax.jit(model.apply).lower(params, feats).compile()
+            .cost_analysis()
+        )
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
-        return float(analysis["flops"]) / num_t
+        return float(analysis["flops"])
     except Exception as e:  # noqa: BLE001
         print(f"  (cost_analysis unavailable: {e})", file=sys.stderr)
         return None
@@ -85,12 +122,10 @@ def main() -> None:
                            jax.random.PRNGKey(base + 1000 * b + i))
             )
 
-    # FLOP count from the XLA twin at B=1 (the counter is blind to Pallas
-    # custom-call interiors — see _flops_per_step); exact linear scaling
-    # in B since every op is batched.
-    flops_b1 = _flops_per_step(
-        *_build_sampler(num_res, num_t, "bfloat16", False, 1), num_t
-    )
+    # FLOP count from one unrolled XLA forward at B=1 (see _fwd_flops for
+    # why neither the scan program nor the Pallas variant can be counted
+    # directly); exact linear scaling in B since every op is batched.
+    flops_b1 = _fwd_flops(num_res, 1)
 
     rows = []
     for b in batches:

@@ -5,6 +5,21 @@ unpacking of anarci's return contract — (numberings, alignment_details,
 hit_tables), numberings[0][0] == (numbering_list, start, end),
 numbering_list == [((imgt_idx, insertion_code), aa), ...] with '-' gaps —
 was previously untested (VERDICT round-1 weak item 6).
+
+Closure status of VERDICT r3 missing #3 / item 8 ("record a real-anarci
+fixture"): NOT POSSIBLE in this environment, documented as a negative
+result. anarci is not installed (conda/HMMER dependency, installs are
+disallowed), the machine has zero network egress (verified each round via
+scripts/fetch_weights.py), and neither the reference checkout nor its
+test data contain any recorded anarci output to replay (grep over
+/root/reference: the only anarci artifacts are the import and the IMGT
+limit table in framedipt/protein/tcr.py). Hand-writing a "real" numbering
+for a published TCR from memory would fabricate scientific data, so the
+adapter remains validated against (a) this mock of anarci's documented
+return contract and (b) the conserved-anchor heuristic's independent
+C104/F118-motif detection (test_tcr_truncation.py). First action in any
+environment that has anarci: run scripts/... (any TCR pair) and commit
+the numbering as tests/data/anarci_numbering.json.
 """
 import types
 
