@@ -126,13 +126,16 @@ def bench_single(num_res: int, num_t: int, compute_dtype: str,
 def bench_train_step(batch: int = 4, num_res: int = 256,
                      compute_dtype: str = "bfloat16",
                      use_pallas: bool = False,
-                     use_pallas_embedder: bool = False) -> dict:
+                     use_pallas_embedder: bool = False,
+                     emb_bwd: str = "xla") -> dict:
     """Full fused train step (noising + fwd + DSM losses + Adam update) at
     the published model size; reported as examples/s via the two-length
     scan slope (cancels the ~30 ms dispatch exactly — single-call timings
     are meaningless on the tunneled executor, see PERF.md). With
     ``use_pallas`` the edge transitions run the fused pair-MLP kernel
-    forward AND the fused backward kernel (pallas_bwd_impl="pallas")."""
+    forward AND the fused backward kernel (pallas_bwd_impl="pallas");
+    ``emb_bwd`` selects the embedder kernel's backward ("xla" remat twin
+    or "pallas" fused backward)."""
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.train.loop import (
@@ -149,9 +152,12 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
                 mc.ipa, use_pallas_kernel=True, pallas_bwd_impl="pallas"
             )
         if use_pallas_embedder:
-            # Forward = fused embedder kernel; backward = VJP of the XLA
-            # twin rematerialized from the O(N) inputs.
-            mc.ipa = dataclasses.replace(mc.ipa, use_pallas_embedder=True)
+            # Forward = fused embedder kernel; backward per emb_bwd: the
+            # remat XLA twin or the fused Pallas backward kernel.
+            mc.ipa = dataclasses.replace(
+                mc.ipa, use_pallas_embedder=True,
+                pallas_emb_bwd_impl=emb_bwd,
+            )
         model = ScoreNetwork(mc, diffuser, inpainting=True)
     feats = _make_feats(batch, num_res)
     batch_dict = {
@@ -295,12 +301,18 @@ def main() -> None:
 
     # Training path (examples/s, dispatch-free slope): XLA saved-activation
     # backward vs fused pair-MLP forward + fused backward kernel.
-    for name, use_pallas in (
-        ("train_step_4x256_bf16", False),
-        ("train_step_4x256_bf16_pallas_bwd", True),
+    for name, use_pallas, use_emb, emb_bwd in (
+        ("train_step_4x256_bf16", False, False, "xla"),
+        ("train_step_4x256_bf16_pallas_bwd", True, False, "xla"),
+        # + embedder kernel with its fused Pallas backward (the cotangent
+        # read is its only N^2 HBM traffic).
+        ("train_step_4x256_bf16_pallas_emb_bwd", True, True, "pallas"),
     ):
         try:
-            results[name] = bench_train_step(use_pallas=use_pallas)
+            results[name] = bench_train_step(
+                use_pallas=use_pallas, use_pallas_embedder=use_emb,
+                emb_bwd=emb_bwd,
+            )
             print(f"{name}: {results[name]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             _record_failure(name, e)

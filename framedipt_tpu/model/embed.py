@@ -219,6 +219,7 @@ class Embedder(nn.Module):
                 self.conf.ipa.pallas_emb_tile_i,
                 self.conf.ipa.pallas_emb_tile_j,
                 bool(getattr(self.conf.ipa, "pallas_interpret", False)),
+                getattr(self.conf.ipa, "pallas_emb_bwd_impl", "xla"),
             )
             kernel_args = (
                 g.astype(dtype),

@@ -363,17 +363,437 @@ def _xla_edge_embedder(
     return (normed * emask[..., None].astype(F32)).astype(dtype)
 
 
+def _edge_embedder_bwd_kernel(
+    g_ref, h_ref,  # [1, TI, 4K] / [1, TJ, 4K]
+    xr_ref, yr_ref, zr_ref,  # [1, TI, 1] f32 row coordinates
+    xc_ref, yc_ref, zc_ref,  # [1, 1, TJ] f32 col coordinates
+    i0_ref, j0_ref,  # [1, TI, C] (i_term + b0) / [1, TJ, C]
+    rmask_ref, cmask_ref,  # [1, TI, 1] / [1, 1, TJ]
+    wrel_ref, wdist_ref,  # [4K, C] / [n_bins, C]
+    lower_ref, upper_ref,  # [1, n_bins] f32
+    w1_ref, b1_ref, w2_ref, b2_ref,  # MLP params
+    lns_ref, lnb_ref,  # LayerNorm params (f32)
+    grad_ref,  # [1, TI, TJ, C] cotangent
+    # ---- outputs (grid-reduced f32 accumulators; no N^2 output at all) --
+    dg_ref, dh_ref,  # [1, TI, 4K] row acc / [1, Nc, 4K] batch col acc
+    di0_ref, dj0_ref,  # [1, TI, C] / [1, Nc, C]
+    drm_ref, dcm_ref,  # [1, TI, 1] / [1, 1, Nc]
+    dwrel_ref, dwdist_ref,  # [4K, C] / [n_bins, C]
+    dw1_ref, db1_ref, dw2_ref, db2_ref,  # [C, C] / [1, C] x2
+    dlns_ref, dlnb_ref,  # [1, C]
+):
+    """Fused backward of the edge embedder: recompute the forward
+    tile-resident (identical math to ``_edge_embedder_kernel``), then
+    back-propagate through LayerNorm, the MLP, the distogram matmul and
+    the CP product inside the same tile. Because the N^2 pairwise input is
+    *synthesized* in-kernel, there is no d_pair output — the cotangent
+    read is the only N^2 HBM traffic of the whole backward. Same Mosaic
+    lowering rules as the pair-MLP backward: reductions that would emit a
+    rank-1 vector run as MXU dots against ones columns; relu/one-hot
+    compares in f32 (v5e rejects bf16 vector cmpf). Coordinate grads are
+    NOT produced: the distogram one-hot is a step function (zero a.e.) and
+    the wrapper returns exact zeros for them."""
+    b_id, i_id, j_id = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    _, ti, cp = g_ref.shape
+    tj = h_ref.shape[1]
+    c = wrel_ref.shape[1]
+    n_bins = wdist_ref.shape[0]
+    dtype = g_ref.dtype
+    mm = ti * tj
+    col_off = j_id * tj
+
+    first_tile = jnp.logical_and(i_id == 0, j_id == 0)
+
+    @pl.when(jnp.logical_and(b_id == 0, first_tile))
+    def _init_weight_accs():
+        dwrel_ref[...] = jnp.zeros_like(dwrel_ref)
+        dwdist_ref[...] = jnp.zeros_like(dwdist_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    @pl.when(first_tile)
+    def _init_batch_accs():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dj0_ref[...] = jnp.zeros_like(dj0_ref)
+        dcm_ref[...] = jnp.zeros_like(dcm_ref)
+
+    @pl.when(j_id == 0)
+    def _init_row_accs():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        di0_ref[...] = jnp.zeros_like(di0_ref)
+        drm_ref[...] = jnp.zeros_like(drm_ref)
+
+    # ---- forward recompute (identical math to _edge_embedder_kernel) ---
+    m3 = g_ref[0][:, None, :] * h_ref[0][None, :, :]  # [TI, TJ, 4K]
+    mflat = m3.reshape(mm, cp)
+    x = jnp.dot(mflat, wrel_ref[:], preferred_element_type=F32).astype(dtype)
+    dxp = xr_ref[0].astype(F32) - xc_ref[0].astype(F32)  # [TI, TJ]
+    dyp = yr_ref[0].astype(F32) - yc_ref[0].astype(F32)
+    dzp = zr_ref[0].astype(F32) - zc_ref[0].astype(F32)
+    d = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp)
+    lower = lower_ref[:].reshape(1, 1, n_bins)
+    upper = upper_ref[:].reshape(1, 1, n_bins)
+    d3 = d[:, :, None]
+    onehot = ((d3 > lower) & (d3 < upper)).astype(dtype)
+    oflat = onehot.reshape(mm, n_bins)
+    x = x + jnp.dot(
+        oflat, wdist_ref[:], preferred_element_type=F32
+    ).astype(dtype)
+    x = x.reshape(ti, tj, c) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
+    y0 = jax.nn.relu(x).reshape(mm, c)  # b0 folded into i0 by the wrapper
+    y1 = jnp.dot(y0, w1_ref[:], preferred_element_type=F32).astype(dtype)
+    y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, c))
+    x2 = jnp.dot(y1, w2_ref[:], preferred_element_type=F32).astype(dtype)
+    x2 = x2 + b2_ref[:].reshape(1, c)
+    x2f = x2.reshape(ti, tj, c).astype(F32)
+    mean = jnp.mean(x2f, axis=-1, keepdims=True)
+    centered = x2f - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = centered * inv
+    s = lns_ref[:].reshape(1, 1, c).astype(F32)
+    yln = xhat * s + lnb_ref[:].reshape(1, 1, c).astype(F32)
+    rmask = rmask_ref[0].astype(F32)  # [TI, 1]
+    cmask = cmask_ref[0].astype(F32)  # [1, TJ]
+    emask = rmask * cmask
+
+    # ---- backward -------------------------------------------------------
+    gf = grad_ref[0].astype(F32)  # [TI, TJ, C]
+    gm = gf * emask[:, :, None]
+
+    ones_m = jnp.ones((mm, 1), F32)
+    ones_ti = jnp.ones((ti, 1), F32)
+    ones_tj = jnp.ones((tj, 1), F32)
+
+    def _t_dot(a, b):  # [m, p] x [m, q] -> [p, q], f32 accumulation
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )
+
+    def _nt_dot(a, w):  # [m, p] x [q, p] -> [m, q] (i.e. a @ w.T)
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        )
+
+    def _colsum(v):  # [m, c] -> [1, c]: sublane sum via the MXU
+        return _t_dot(ones_m, v)
+
+    # mask grads (through out = yln * emask)
+    dem = jnp.sum(yln * gf, axis=-1)  # [TI, TJ]
+    drm_ref[0] += jax.lax.dot_general(
+        dem * cmask, ones_tj, (((1,), (0,)), ((), ())),
+        preferred_element_type=F32,
+    )
+    dcm_ref[0, :, pl.ds(col_off, tj)] += _t_dot(ones_ti, dem * rmask)
+
+    # LayerNorm backward
+    dlns_ref[...] += _colsum((gm * xhat).reshape(mm, c))
+    dlnb_ref[...] += _colsum(gm.reshape(mm, c))
+    dxhat = gm * s
+    mu1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mu2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx2 = (dxhat - mu1 - xhat * mu2) * inv  # [TI, TJ, C] f32
+    dx2d = dx2.astype(dtype).reshape(mm, c)
+
+    # third layer
+    dw2_ref[...] += _t_dot(y1, dx2d)
+    db2_ref[...] += _colsum(dx2.reshape(mm, c))
+
+    # second layer (relu compare in f32 — v5e rejects bf16 vector cmpf)
+    dy1 = _nt_dot(dx2d, w2_ref[:]).astype(dtype)
+    dy1 = dy1 * (y1.astype(F32) > 0).astype(dtype)
+    dw1_ref[...] += _t_dot(y0, dy1)
+    db1_ref[...] += _colsum(dy1.astype(F32))
+
+    # first layer
+    dy0 = _nt_dot(dy1, w1_ref[:]).astype(dtype)
+    dy0 = dy0 * (y0.astype(F32) > 0).astype(dtype)  # [mm, C]
+    dy03 = dy0.reshape(ti, tj, c).astype(F32)
+    di0_ref[0] += jnp.sum(dy03, axis=1)  # [TI, C]
+    dj0_ref[0, pl.ds(col_off, tj), :] += jnp.sum(dy03, axis=0)
+
+    # pairwise-feature producers
+    dwrel_ref[...] += _t_dot(mflat, dy0)
+    dwdist_ref[...] += _t_dot(oflat, dy0)
+    dm3 = _nt_dot(dy0, wrel_ref[:]).reshape(ti, tj, cp)  # f32
+    dg_ref[0] += jnp.sum(dm3 * h_ref[0][None, :, :].astype(F32), axis=1)
+    dh_ref[0, pl.ds(col_off, tj), :] += jnp.sum(
+        dm3 * g_ref[0][:, None, :].astype(F32), axis=0
+    )
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4)
+    jax.jit,
+    static_argnames=(
+        "bins_lower", "bins_upper", "tile_i", "tile_j", "interpret"
+    ),
+)
+def fused_edge_embedder_bwd(
+    grad,
+    g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
+    w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
+    *,
+    bins_lower: tuple[float, ...],
+    bins_upper: tuple[float, ...],
+    tile_i: int = 16,
+    tile_j: int = 128,
+    interpret: bool = False,
+):
+    """Fused Pallas backward of the edge embedder. One kernel recomputes
+    the forward per tile and produces every input gradient; since the
+    pairwise features are synthesized in-kernel there is NO d_pair output
+    — the [B, Nr, Nc, C] cotangent read is the backward's only N^2 HBM
+    traffic (the XLA remat twin materializes the CP product, one-hot and
+    MLP intermediates again). Returns grads in the same order as
+    ``jax.vjp(_xla_edge_embedder, ...)`` over the 17 array args, with
+    EXACT ZEROS for pos_rows/pos_cols (the one-hot distogram is a step
+    function — zero gradient a.e.; the XLA twin propagates 0 * d(sqrt)
+    which is NaN on the d=0 diagonal, so zeros are strictly better)."""
+    B, N_r, cp = g.shape
+    N_c = h.shape[1]
+    c = w_rel.shape[1]
+    n_bins = w_dist.shape[0]
+    dtype = g.dtype
+
+    # Same lane paddings as the forward wrapper (exact zero rank-padding
+    # for the CP factors; empty bins with zeroed w_dist rows).
+    pad_cp = (-cp) % 128
+    if pad_cp:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_cp)))
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, pad_cp)))
+        w_rel = jnp.pad(w_rel, ((0, pad_cp), (0, 0)))
+        cp += pad_cp
+    pad_bins = (-n_bins) % 128
+    if pad_bins:
+        bins_lower = tuple(bins_lower) + (1e30,) * pad_bins
+        bins_upper = tuple(bins_upper) + (-1e30,) * pad_bins
+        w_dist = jnp.pad(w_dist, ((0, pad_bins), (0, 0)))
+        n_bins += pad_bins
+
+    # Fold b0 into the row node term (identity add; unfolded below).
+    i0 = (i_term + b0).astype(dtype)
+    j0 = j_term.astype(dtype)
+
+    # The backward holds ~2x the forward's live tiles.
+    if jnp.dtype(dtype).itemsize >= 4:
+        while tile_i * tile_j > 1024 and tile_j > 128:
+            tile_j //= 2
+        while tile_i * tile_j > 1024 and tile_i > 8:
+            tile_i //= 2
+    tile_j = min(tile_j, max(128, -(-N_c // 128) * 128))
+    tile_i = min(tile_i, max(8, -(-N_r // 8) * 8))
+    pad_i = (-N_r) % tile_i
+    pad_j = (-N_c) % tile_j
+    if pad_i:
+        g = jnp.pad(g, ((0, 0), (0, pad_i), (0, 0)))
+        i0 = jnp.pad(i0, ((0, 0), (0, pad_i), (0, 0)))
+    if pad_j:
+        h = jnp.pad(h, ((0, 0), (0, pad_j), (0, 0)))
+        j0 = jnp.pad(j0, ((0, 0), (0, pad_j), (0, 0)))
+    if pad_i or pad_j:
+        # Zero-padded cotangent + zero-padded masks => every gradient
+        # contribution from padded elements is exactly zero.
+        grad = jnp.pad(grad, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
+    pos_r = jnp.pad(
+        pos_rows.astype(F32), ((0, 0), (0, pad_i), (0, 0)),
+        constant_values=1e6,
+    )
+    pos_c = jnp.pad(
+        pos_cols.astype(F32), ((0, 0), (0, pad_j), (0, 0)),
+        constant_values=1e6,
+    )
+    rmask = jnp.pad(row_mask, ((0, 0), (0, pad_i))) if pad_i else row_mask
+    cmask = jnp.pad(col_mask, ((0, 0), (0, pad_j))) if pad_j else col_mask
+    n_rows, n_cols = g.shape[1], h.shape[1]
+    grid = (B, n_rows // tile_i, n_cols // tile_j)
+
+    def row_spec(c_):
+        return pl.BlockSpec(
+            (1, tile_i, c_), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def col_spec(c_):
+        return pl.BlockSpec(
+            (1, tile_j, c_), lambda b, i, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def colT_spec():
+        return pl.BlockSpec(
+            (1, 1, tile_j), lambda b, i, j: (b, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    def rowmask_spec():
+        return pl.BlockSpec(
+            (1, tile_i, 1), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full_spec(*shape):
+        return pl.BlockSpec(
+            shape, lambda b, i, j: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def batch_full(*shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda b, i, j: (b,) + tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        row_spec(cp), col_spec(cp),
+        rowmask_spec(), rowmask_spec(), rowmask_spec(),  # xr, yr, zr
+        colT_spec(), colT_spec(), colT_spec(),  # xc, yc, zc
+        row_spec(c), col_spec(c),  # i0, j0
+        rowmask_spec(), colT_spec(),  # masks
+        full_spec(cp, c), full_spec(n_bins, c),
+        full_spec(1, n_bins), full_spec(1, n_bins),
+        full_spec(c, c), full_spec(1, c),
+        full_spec(c, c), full_spec(1, c),
+        full_spec(1, c), full_spec(1, c),
+        pl.BlockSpec(
+            (1, tile_i, tile_j, c), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [
+        g, h.astype(dtype),
+        pos_r[..., 0:1], pos_r[..., 1:2], pos_r[..., 2:3],
+        jnp.swapaxes(pos_c[..., 0:1], 1, 2),
+        jnp.swapaxes(pos_c[..., 1:2], 1, 2),
+        jnp.swapaxes(pos_c[..., 2:3], 1, 2),
+        i0, j0,
+        rmask.astype(dtype)[:, :, None],
+        cmask.astype(dtype)[:, None, :],
+        w_rel.astype(dtype), w_dist.astype(dtype),
+        jnp.asarray(bins_lower, F32).reshape(1, -1),
+        jnp.asarray(bins_upper, F32).reshape(1, -1),
+        w1.astype(dtype), b1.reshape(1, -1).astype(dtype),
+        w2.astype(dtype), b2.reshape(1, -1).astype(dtype),
+        ln_scale.reshape(1, -1).astype(F32),
+        ln_bias.reshape(1, -1).astype(F32),
+        grad.astype(dtype),
+    ]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, n_rows, cp), F32),  # d_g
+        jax.ShapeDtypeStruct((B, n_cols, cp), F32),  # d_h
+        jax.ShapeDtypeStruct((B, n_rows, c), F32),  # d_i0
+        jax.ShapeDtypeStruct((B, n_cols, c), F32),  # d_j0
+        jax.ShapeDtypeStruct((B, n_rows, 1), F32),  # d_rmask
+        jax.ShapeDtypeStruct((B, 1, n_cols), F32),  # d_cmask
+        jax.ShapeDtypeStruct((cp, c), F32),  # d_w_rel
+        jax.ShapeDtypeStruct((n_bins, c), F32),  # d_w_dist
+        jax.ShapeDtypeStruct((c, c), F32),  # d_w1
+        jax.ShapeDtypeStruct((1, c), F32),  # d_b1
+        jax.ShapeDtypeStruct((c, c), F32),  # d_w2
+        jax.ShapeDtypeStruct((1, c), F32),  # d_b2
+        jax.ShapeDtypeStruct((1, c), F32),  # d_ln_scale
+        jax.ShapeDtypeStruct((1, c), F32),  # d_ln_bias
+    ]
+    out_specs = [
+        row_spec(cp),
+        batch_full(n_cols, cp),
+        row_spec(c),
+        batch_full(n_cols, c),
+        rowmask_spec(),
+        batch_full(1, n_cols),
+        full_spec(cp, c),
+        full_spec(n_bins, c),
+        full_spec(c, c),
+        full_spec(1, c),
+        full_spec(c, c),
+        full_spec(1, c),
+        full_spec(1, c),
+        full_spec(1, c),
+    ]
+
+    flops_per_elem = 3 * 2 * (cp * c + n_bins * c + 2 * c * c)
+    outs = pl.pallas_call(
+        _edge_embedder_bwd_kernel,
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            # Sequential grid: grid-reduced outputs accumulate in their
+            # VMEM-resident blocks across revisiting iterations.
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # Same scoped-vmem headroom as the pair-MLP backward.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * n_rows * n_cols * flops_per_elem,
+            bytes_accessed=B * n_rows * n_cols * c
+            * np.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    (
+        d_g, d_h, d_i0, d_j0, d_rm, d_cm,
+        d_wrel, d_wdist, d_w1, d_b1, d_w2, d_b2, d_lns, d_lnb,
+    ) = outs
+
+    if pad_i or pad_j:
+        d_g = d_g[:, :N_r]
+        d_h = d_h[:, :N_c]
+        d_i0 = d_i0[:, :N_r]
+        d_j0 = d_j0[:, :N_c]
+        d_rm = d_rm[:, :N_r]
+        d_cm = d_cm[:, :, :N_c]
+    if pad_cp:
+        d_g = d_g[..., : cp - pad_cp]
+        d_h = d_h[..., : cp - pad_cp]
+        d_wrel = d_wrel[: cp - pad_cp]
+    if pad_bins:
+        d_wdist = d_wdist[: n_bins - pad_bins]
+
+    # Unfold: i0 = i_term + b0 is an identity add.
+    d_b0 = jnp.sum(d_i0, axis=(0, 1))
+    cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
+    return (
+        cast(d_g, g),
+        cast(d_h, h),
+        jnp.zeros_like(pos_rows),
+        jnp.zeros_like(pos_cols),
+        cast(d_i0, i_term),
+        cast(d_j0, j_term),
+        cast(d_rm[..., 0], row_mask),
+        cast(d_cm[:, 0, :], col_mask),
+        cast(d_wrel, w_rel),
+        cast(d_wdist, w_dist),
+        cast(d_b0, b0),
+        cast(d_w1, w1),
+        cast(d_b1[0], b1),
+        cast(d_w2, w2),
+        cast(d_b2[0], b2),
+        cast(d_lns[0], ln_scale),
+        cast(d_lnb[0], ln_bias),
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5)
 )
 def fused_edge_embedder_trainable(
-    bins_lower, bins_upper, tile_i, tile_j, interpret,
+    bins_lower, bins_upper, tile_i, tile_j, interpret, bwd_impl,
     g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
     w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
 ):
-    """Differentiable fused edge embedder: Pallas forward, backward via the
-    VJP of the numerically identical XLA twin rematerialized from the O(N)
-    inputs (the [N, N, C] intermediates are never saved to HBM)."""
+    """Differentiable fused edge embedder: Pallas forward; the backward is
+    selected by ``bwd_impl`` — "xla" runs the VJP of the numerically
+    identical XLA twin rematerialized from the O(N) inputs, "pallas" runs
+    the fused backward kernel (:func:`fused_edge_embedder_bwd`, cotangent
+    read is the only N^2 HBM traffic)."""
     return fused_edge_embedder(
         g, h, pos_rows, pos_cols, i_term, j_term, row_mask, col_mask,
         w_rel, w_dist, b0, w1, b1, w2, b2, ln_scale, ln_bias,
@@ -382,16 +802,26 @@ def fused_edge_embedder_trainable(
     )
 
 
-def _trainable_fwd(bins_lower, bins_upper, tile_i, tile_j, interpret, *args):
+def _trainable_fwd(bins_lower, bins_upper, tile_i, tile_j, interpret,
+                   bwd_impl, *args):
     out = fused_edge_embedder_trainable(
-        bins_lower, bins_upper, tile_i, tile_j, interpret, *args
+        bins_lower, bins_upper, tile_i, tile_j, interpret, bwd_impl, *args
     )
     return out, args
 
 
 def _trainable_bwd(bins_lower, bins_upper, tile_i, tile_j, interpret,
-                   residuals, grad):
-    del tile_i, tile_j, interpret
+                   bwd_impl, residuals, grad):
+    if bwd_impl == "pallas":
+        return fused_edge_embedder_bwd(
+            grad, *residuals,
+            bins_lower=bins_lower, bins_upper=bins_upper,
+            tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
+    if bwd_impl != "xla":
+        raise ValueError(
+            f"bwd_impl must be 'xla' or 'pallas', got {bwd_impl!r}"
+        )
     _, vjp = jax.vjp(
         lambda *a: _xla_edge_embedder(*a, bins_lower, bins_upper), *residuals
     )

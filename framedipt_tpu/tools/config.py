@@ -117,6 +117,11 @@ class IPAConfig:
     # backward at B=4 N=256 bf16; edge-transition value+grad component
     # 9.0 vs 13.5 ms/fwd at N=512 (see PERF.md backward A/B table).
     pallas_bwd_impl: str = "pallas"
+    # Backward for the fused edge-embedder kernel when trained through:
+    # "xla" remat twin or "pallas" fused backward (the cotangent read is
+    # its only N^2 HBM traffic — the pair input is synthesized in-kernel,
+    # so there is no d_pair output at all).
+    pallas_emb_bwd_impl: str = "xla"
     # Run Pallas kernels in interpret mode (CPU-mesh tests only).
     pallas_interpret: bool = False
 

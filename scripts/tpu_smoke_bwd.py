@@ -84,6 +84,70 @@ def main() -> int:
     if worst > 0.08:
         print("FAIL: grads diverge from the XLA twin beyond bf16 tolerance")
         return 1
+    print("pair-MLP backward PASS")
+    return smoke_embedder_bwd(n, rng)
+
+
+def smoke_embedder_bwd(n: int, rng) -> int:
+    """Mosaic-compile + run the fused edge-embedder backward at the
+    published embedder shape (cp=128 CP factors, C=128, 22 distogram
+    bins) and check grads vs the XLA twin (b0 pre-folded, bf16)."""
+    from framedipt_tpu.model.pallas.edge_embedder import (
+        _xla_edge_embedder,
+        fused_edge_embedder_bwd,
+    )
+
+    B, cp, c, n_bins = 1, 128, 128, 22
+    bf16 = jnp.bfloat16
+
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape) * scale, dtype=bf16)
+
+    lower = np.linspace(1e-3, 20.0, n_bins)
+    upper = np.concatenate([lower[1:], [1e8]])
+    lower_t = tuple(float(x) for x in lower)
+    upper_t = tuple(float(x) for x in upper)
+    pos = jnp.asarray(rng.normal(size=(B, n, 3)).astype(np.float32) * 8)
+    args = (
+        arr(B, n, cp), arr(B, n, cp), pos, pos,
+        arr(B, n, c), arr(B, n, c),
+        jnp.ones((B, n), bf16), jnp.ones((B, n), bf16),
+        arr(cp, c, scale=0.3), arr(n_bins, c, scale=0.3),
+        jnp.zeros((c,), bf16),  # b0 pre-folded (bf16 relu-flip note)
+        arr(c, c, scale=0.3), arr(c, scale=0.3),
+        arr(c, c, scale=0.3), arr(c, scale=0.3),
+        jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+    )
+    cot = arr(B, n, n, c)
+
+    got = fused_edge_embedder_bwd(
+        cot, *args, bins_lower=lower_t, bins_upper=upper_t
+    )
+    got = jax.block_until_ready(got)
+    print("embedder backward compiled + ran")
+
+    _, vjp = jax.vjp(
+        lambda *a: _xla_edge_embedder(*a, lower_t, upper_t), *args
+    )
+    want = jax.block_until_ready(vjp(cot))
+    worst = 0.0
+    for idx, (a, b) in enumerate(zip(want, got)):
+        if idx in (2, 3):  # pos grads: kernel returns exact zeros
+            if np.asarray(b).any():
+                print(f"FAIL: nonzero pos grad at arg {idx}")
+                return 1
+            continue
+        b32 = np.asarray(b, np.float32)
+        if not np.isfinite(b32).all():
+            print(f"FAIL: non-finite embedder grad at arg {idx}")
+            return 1
+        a32 = np.asarray(a, np.float32)
+        rel = np.abs(a32 - b32).max() / max(1.0, np.abs(a32).max())
+        worst = max(worst, float(rel))
+    print(f"embedder worst relative grad diff vs XLA twin: {worst:.4f}")
+    if worst > 0.08:
+        print("FAIL: embedder grads diverge beyond bf16 tolerance")
+        return 1
     print("PASS")
     return 0
 

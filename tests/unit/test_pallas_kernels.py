@@ -330,7 +330,7 @@ def test_rel_cp_factors_exact():
     )
 
 
-def _tiny_embedder_setup(n=20, use_pallas=False):
+def _tiny_embedder_setup(n=20, use_pallas=False, emb_bwd="xla"):
     import dataclasses
 
     from framedipt_tpu.model.embed import Embedder
@@ -343,6 +343,7 @@ def _tiny_embedder_setup(n=20, use_pallas=False):
     m.ipa = dataclasses.replace(
         m.ipa, pallas_tile_i=8, pallas_tile_j=16,
         pallas_emb_tile_i=8, pallas_emb_tile_j=16,
+        pallas_emb_bwd_impl=emb_bwd,
     )
     emb = Embedder(m, inpainting=True, use_pallas=use_pallas)
     rng = np.random.default_rng(12)
@@ -402,6 +403,197 @@ def test_fused_edge_embedder_gradients():
     )
     cot = jnp.asarray(
         np.random.default_rng(15).normal(size=(1, 16, 16, 16)).astype(
+            np.float32
+        )
+    )
+
+    def loss_xla(p):
+        _, e = emb_xla.apply(p, **feats)
+        e = e * (mask[:, :, None] * mask[:, None, :])[..., None]
+        return jnp.sum(e * cot)
+
+    def loss_pal(p):
+        _, e = emb_pal.apply(p, **feats, node_mask=mask)
+        return jnp.sum(e * cot)
+
+    g_xla = jax.grad(loss_xla)(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal)(params)
+    flat_x, _ = jax.tree_util.tree_flatten(g_xla)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pal)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        )
+
+
+def _emb_bwd_args(dtype, B=2, n_r=24, n_c=20, cp_half=8, c=16, n_bins=7,
+                  same_pos=False, seed=21):
+    """Random args in _xla_edge_embedder order; rectangular and
+    non-tile-multiple shapes exercise the bwd kernel's padding and
+    per-batch accumulators. ``same_pos`` makes pos_rows equal pos_cols
+    (square case) whose d=0 diagonal NaNs the XLA twin's pos grads."""
+    rng = np.random.default_rng(seed)
+
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(rng.normal(size=shape) * scale, dtype=dtype)
+
+    cp = 4 * cp_half
+    g = arr(B, n_r, cp)
+    h = arr(B, n_c, cp)
+    pos_rows = jnp.asarray(
+        rng.normal(size=(B, n_r, 3)).astype(np.float32) * 6
+    )
+    if same_pos:
+        assert n_r == n_c
+        pos_cols = pos_rows
+    else:
+        pos_cols = jnp.asarray(
+            rng.normal(size=(B, n_c, 3)).astype(np.float32) * 6
+        )
+    i_term = arr(B, n_r, c)
+    j_term = arr(B, n_c, c)
+    rmask_np = np.ones((B, n_r), np.float32)
+    rmask_np[:, -3:] = 0.0
+    cmask_np = np.ones((B, n_c), np.float32)
+    cmask_np[:, -2:] = 0.0
+    lower = np.linspace(1e-3, 12.0, n_bins)
+    upper = np.concatenate([lower[1:], [1e8]])
+    return (
+        jnp.asarray(rng.normal(size=(B, n_r, n_c, c)), dtype),  # cotangent
+        (
+            g, h, pos_rows, pos_cols, i_term, j_term,
+            jnp.asarray(rmask_np, dtype), jnp.asarray(cmask_np, dtype),
+            arr(cp, c, scale=0.3), arr(n_bins, c, scale=0.3),  # w_rel/w_dist
+            arr(c, scale=0.3),  # b0
+            arr(c, c, scale=0.3), arr(c, scale=0.3),  # w1/b1
+            arr(c, c, scale=0.3), arr(c, scale=0.3),  # w2/b2
+            jnp.asarray(1.0 + 0.1 * rng.normal(size=c), jnp.float32),
+            jnp.asarray(0.1 * rng.normal(size=c), jnp.float32),
+        ),
+        (tuple(float(x) for x in lower), tuple(float(x) for x in upper)),
+    )
+
+
+_EMB_ARG_NAMES = (
+    "g h pos_rows pos_cols i_term j_term row_mask col_mask "
+    "w_rel w_dist b0 w1 b1 w2 b2 ln_scale ln_bias"
+).split()
+
+
+def test_edge_embedder_bwd_kernel_matches_xla_vjp():
+    """fused_edge_embedder_bwd must reproduce every cotangent of
+    jax.vjp(_xla_edge_embedder, ...) — CP factor grads, O(N) node-term
+    grads, mask grads, and the grid-reduced weight/bias/LN grads — except
+    pos grads, which the kernel returns as exact zeros (the one-hot
+    distogram is a step function; with distinct random coordinates the
+    twin's pos grads are exactly zero too, so they ARE compared here)."""
+    from framedipt_tpu.model.pallas.edge_embedder import (
+        _xla_edge_embedder,
+        fused_edge_embedder_bwd,
+    )
+
+    cot, args, (lower, upper) = _emb_bwd_args(jnp.float32)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_edge_embedder(*a, lower, upper), *args
+    )
+    want = vjp(cot)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_edge_embedder_bwd(
+            cot, *args, bins_lower=lower, bins_upper=upper,
+            tile_i=8, tile_j=16, interpret=True,
+        )
+    assert len(want) == len(got) == len(_EMB_ARG_NAMES)
+    for name, a, b in zip(_EMB_ARG_NAMES, want, got):
+        assert b.dtype == a.dtype, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=name,
+        )
+
+
+def test_edge_embedder_bwd_kernel_square_identical_pos():
+    """The production (square) case: pos_rows is pos_cols, so the twin's
+    pos grads are NaN on the d=0 diagonal (0 x d(sqrt)(0)); the kernel
+    must return exact zeros there and match the twin everywhere else."""
+    from framedipt_tpu.model.pallas.edge_embedder import (
+        _xla_edge_embedder,
+        fused_edge_embedder_bwd,
+    )
+
+    cot, args, (lower, upper) = _emb_bwd_args(
+        jnp.float32, n_r=20, n_c=20, same_pos=True, seed=22
+    )
+    _, vjp = jax.vjp(
+        lambda *a: _xla_edge_embedder(*a, lower, upper), *args
+    )
+    want = vjp(cot)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_edge_embedder_bwd(
+            cot, *args, bins_lower=lower, bins_upper=upper,
+            tile_i=8, tile_j=16, interpret=True,
+        )
+    for name, a, b in zip(_EMB_ARG_NAMES, want, got):
+        if name in ("pos_rows", "pos_cols"):
+            assert not np.asarray(b).any(), name
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4,
+            err_msg=name,
+        )
+
+
+def test_edge_embedder_bwd_kernel_bf16_close_to_xla_vjp():
+    """bf16: fused backward vs the twin's VJP differ only in rounding
+    order (both accumulate matmuls in f32). b0 is pre-folded to zero as in
+    the pair-MLP bf16 test (the in-kernel i_term+b0 fold is a bf16
+    reassociation that can flip a relu mask within 1 ulp of zero)."""
+    from framedipt_tpu.model.pallas.edge_embedder import (
+        _xla_edge_embedder,
+        fused_edge_embedder_bwd,
+    )
+
+    cot, args, (lower, upper) = _emb_bwd_args(jnp.bfloat16, seed=23)
+    (g, h, pr, pc, i_term, j_term, rm, cm,
+     w_rel, w_dist, b0, w1, b1, w2, b2, lns, lnb) = args
+    args = (g, h, pr, pc, i_term + b0, j_term, rm, cm,
+            w_rel, w_dist, jnp.zeros_like(b0), w1, b1, w2, b2, lns, lnb)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_edge_embedder(*a, lower, upper), *args
+    )
+    want = vjp(cot)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_edge_embedder_bwd(
+            cot, *args, bins_lower=lower, bins_upper=upper,
+            tile_i=8, tile_j=16, interpret=True,
+        )
+    for name, a, b in zip(_EMB_ARG_NAMES, want, got):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b, np.float32)
+        assert np.isfinite(b32).all(), name
+        scale = max(1.0, np.abs(a32).max())
+        assert np.abs(a32 - b32).max() / scale < 0.08, name
+
+
+def test_embedder_pallas_bwd_through_module():
+    """Embedder with pallas_emb_bwd_impl='pallas': parameter grads through
+    the fused backward kernel must match the plain XLA embedder's
+    (sc_ca_t is stop-gradded in training, so its zero-vs-NaN pos grad
+    difference never reaches parameters)."""
+    emb_xla, feats, mask = _tiny_embedder_setup(n=16, use_pallas=False)
+    emb_pal, _, _ = _tiny_embedder_setup(
+        n=16, use_pallas=True, emb_bwd="pallas"
+    )
+    params = emb_xla.init(jax.random.PRNGKey(0), **feats)
+    params = jax.tree_util.tree_map(
+        lambda x: x
+        + 0.05 * np.random.default_rng(24).normal(size=x.shape).astype(
+            np.float32
+        ),
+        params,
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(25).normal(size=(1, 16, 16, 16)).astype(
             np.float32
         )
     )

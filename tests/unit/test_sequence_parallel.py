@@ -161,8 +161,8 @@ def test_sp_pallas_edge_kernel_trajectory_parity(monkeypatch):
     emb_orig = emb_mod.fused_edge_embedder_trainable
 
     def emb_spy(*a):
-        # diff args start at index 5 (g is the first array argument).
-        emb_shapes.append((tuple(a[5].shape), tuple(a[6].shape)))
+        # diff args start at index 6 (g is the first array argument).
+        emb_shapes.append((tuple(a[6].shape), tuple(a[7].shape)))
         return emb_orig(*a)
 
     monkeypatch.setattr(emb_mod, "fused_edge_embedder_trainable", emb_spy)
