@@ -236,21 +236,29 @@ def train(cfg: Config) -> None:
             cfg.diffuser = saved_cfg.diffuser
             logger.info(f"use_ckpt_conf: model/diffuser config from {ckpt}")
     diffuser = SE3Diffuser(cfg.diffuser)
+    import jax.numpy as jnp
+
+    on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
     if cfg.model.ipa.use_pallas_kernel is None:
         # Auto mode: train through the fused pair-MLP kernel on TPU
         # backends. Measured on the v5e (round 4): with the fused Pallas
         # backward (pallas_bwd_impl default) the whole train step runs
         # 181.5 vs 147.2 examples/s (+23%) over the XLA formulation at
         # B=4 N=256 bf16. CPU runs keep the XLA formulation.
-        import jax.numpy as jnp
-
-        on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
         cfg.model.ipa.use_pallas_kernel = on_tpu
         if on_tpu:
             logger.info("fused Pallas pair-MLP kernel enabled for training")
     if cfg.model.ipa.use_pallas_embedder is None:
-        # Forward-only kernel: training always uses the XLA formulation.
-        cfg.model.ipa.use_pallas_embedder = False
+        # Auto mode: with the fused embedder backward
+        # (pallas_emb_bwd_impl default "pallas") the embedder kernel is a
+        # measured training win on the v5e — 185.5 vs 179.4 examples/s
+        # (+3.4%, interleaved A/B at B=4 N=256 bf16). The round-3 remat
+        # twin backward had made it a loss; see PERF.md.
+        cfg.model.ipa.use_pallas_embedder = bool(
+            on_tpu and cfg.model.ipa.use_pallas_kernel
+        )
+        if cfg.model.ipa.use_pallas_embedder:
+            logger.info("fused Pallas embedder kernel enabled for training")
     if cfg.model.ipa.use_pallas_ipa is None:
         # Forward-only kernel: training always uses the XLA formulation.
         cfg.model.ipa.use_pallas_ipa = False

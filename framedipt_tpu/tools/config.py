@@ -120,8 +120,12 @@ class IPAConfig:
     # Backward for the fused edge-embedder kernel when trained through:
     # "xla" remat twin or "pallas" fused backward (the cotangent read is
     # its only N^2 HBM traffic — the pair input is synthesized in-kernel,
-    # so there is no d_pair output at all).
-    pallas_emb_bwd_impl: str = "xla"
+    # so there is no d_pair output at all). Measured on the v5e at B=4
+    # N=256 bf16 (interleaved same-process A/B, two repeats): 185.7/185.2
+    # examples/s vs 180.1/178.7 without the embedder kernel — the fused
+    # backward flips the embedder kernel from a training loss (remat twin
+    # re-materialized what the forward saved: 178 vs 185) into a +3.4% win.
+    pallas_emb_bwd_impl: str = "pallas"
     # Run Pallas kernels in interpret mode (CPU-mesh tests only).
     pallas_interpret: bool = False
 
