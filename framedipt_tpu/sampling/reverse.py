@@ -26,6 +26,11 @@ from framedipt_tpu.geometry import frames
 from framedipt_tpu.geometry.rigid import Rigid
 from framedipt_tpu.model.score_network import preprocess_aatype
 
+# Rebuild atom37 for the whole trajectory in one batched post-scan pass
+# instead of per scan step (identical math; measured A/B in PERF.md).
+# Module-level so scripts/profile-A/Bs can flip it between builds.
+_HOIST_BACKBONE = True
+
 
 def build_inference_fn(
     model: Any,
@@ -133,31 +138,59 @@ def build_inference_fn(
                 + (1.0 - take_reverse) * rigid_pred
             )
 
+            # O(N) backbone reconstruction is hoisted OUT of the scan: the
+            # body emits only rigids7/psi and a single post-pass rebuilds
+            # atom37 for all num_t steps at once (identical math, but the
+            # [T, B, N] batch feeds the VPU/MXU far better than num_t
+            # sequential [B, N] calls — the per-step O(N) tail is ~16% of
+            # a len-256 step, PERF.md batch roofline).
             psi = out["psi"]
-            atom37, atom37_mask, _, _ = frames.compute_backbone(
-                Rigid.from_tensor7(rigids_next7), psi, aatype=aatype
-            )
-            bb_prot = atom37 * atom37_mask[..., None]
-
-            ys = {"prot_traj": bb_prot, "psi": psi}
+            ys = {"rigids7": rigids_next7, "psi": psi}
             if aux_traj:
-                ys["rigid_traj"] = rigids_next7
-                gt_trans_0 = rigids_next7[..., 4:]
-                pred_trans_0 = rigid_pred[..., 4:]
-                ys["trans_traj"] = (
-                    diffuse_mask[..., None] * pred_trans_0
-                    + fixed_mask[..., None] * gt_trans_0
+                ys["rigid_pred7"] = rigid_pred
+            if not _HOIST_BACKBONE:
+                atom37, atom37_mask, _, _ = frames.compute_backbone(
+                    Rigid.from_tensor7(rigids_next7), psi, aatype=aatype
                 )
-                atom37_0, mask37_0, _, _ = frames.compute_backbone(
-                    Rigid.from_tensor7(rigid_pred), psi, aatype=aatype
-                )
-                ys["rigid_0_traj"] = atom37_0 * mask37_0[..., None]
+                ys["prot_traj"] = atom37 * atom37_mask[..., None]
+                if aux_traj:
+                    a37_0, m37_0, _, _ = frames.compute_backbone(
+                        Rigid.from_tensor7(rigid_pred), psi, aatype=aatype
+                    )
+                    ys["rigid_0_traj"] = a37_0 * m37_0[..., None]
 
             return (rigids_next7, sc_next, key), ys
 
         (final_rigids7, _, _), traj = jax.lax.scan(
             body, (rigids_t7, sc_ca, key), reverse_steps
         )
+
+        # Post-scan trajectory reconstruction, batched over all steps.
+        traj_rigids7 = traj["rigids7"]  # [T, B, N, 7]
+        traj_psi = traj["psi"]
+        if _HOIST_BACKBONE:
+            aatype_traj = jnp.broadcast_to(
+                aatype[None], (traj_rigids7.shape[0],) + aatype.shape
+            )
+            atom37, atom37_mask, _, _ = frames.compute_backbone(
+                Rigid.from_tensor7(traj_rigids7), traj_psi, aatype=aatype_traj
+            )
+            traj = dict(traj, prot_traj=atom37 * atom37_mask[..., None])
+            if aux_traj:
+                a37_0, m37_0, _, _ = frames.compute_backbone(
+                    Rigid.from_tensor7(traj["rigid_pred7"]),
+                    traj_psi,
+                    aatype=aatype_traj,
+                )
+                traj["rigid_0_traj"] = a37_0 * m37_0[..., None]
+        if aux_traj:
+            traj["rigid_traj"] = traj_rigids7
+            gt_trans_0 = traj_rigids7[..., 4:]
+            pred_trans_0 = traj["rigid_pred7"][..., 4:]
+            traj["trans_traj"] = (
+                diffuse_mask[None, ..., None] * pred_trans_0
+                + fixed_mask[None, ..., None] * gt_trans_0
+            )
 
         # Flip so trajectories start at t = 0 (experiments/utils.py:610-616).
         ret = {

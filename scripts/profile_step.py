@@ -235,6 +235,62 @@ def main():
 
         rows["embedder (x1)"] = (timed_scan(run_emb, p_emb, (sc_ca,)), 1)
 
+    # Embedder value+grad: the training-path A/B for the embedder backward.
+    #   emb_grad_xla    — plain XLA embedder (saved-activation backward)
+    #   emb_grad_remat  — kernel forward + remat-through-XLA-twin backward
+    #   emb_grad_pallas — kernel forward + fused Pallas backward kernel
+    for label, use_pallas_emb, emb_bwd in (
+        ("emb_grad_xla", False, "xla"),
+        ("emb_grad_remat", True, "xla"),
+        ("emb_grad_pallas", True, "pallas"),
+    ):
+        if not want(label):
+            continue
+        import dataclasses
+
+        mc = dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        mc.ipa = dataclasses.replace(
+            mc.ipa, use_pallas_embedder=use_pallas_emb,
+            pallas_emb_bwd_impl=emb_bwd,
+        )
+        emb_g = Embedder(mc, inpainting=True, dtype=DT,
+                         use_pallas=use_pallas_emb)
+        seq_idx = jnp.tile(jnp.arange(N)[None], (B, 1))
+        tt = jnp.full((B,), 0.5)
+        fixed = jnp.zeros((B, N))
+        sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
+        aatype = jnp.zeros((B, N), jnp.int32)
+        nmask = jnp.ones((B, N)) if use_pallas_emb else None
+        p_embg = emb_g.init(
+            key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+            self_conditioning_ca=sc_ca, aatype=aatype, node_mask=nmask,
+        )
+        # Zero-init final layers would let XLA fold modules away; perturb.
+        p_embg = jax.tree.map(
+            lambda x: x + 0.02 * jax.random.normal(
+                jax.random.fold_in(key, x.size), x.shape, x.dtype
+            ).astype(x.dtype),
+            p_embg,
+        )
+
+        def run_embg(p, sc_ca, i, _emb=emb_g, _nm=nmask):
+            def loss(pp):
+                n_, e_ = _emb.apply(
+                    pp, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
+                    self_conditioning_ca=sc_ca + i * 1e-6,
+                    aatype=aatype, node_mask=_nm,
+                )
+                return jnp.sum(e_.astype(jnp.float32))
+
+            grads = jax.grad(loss)(p)
+            return sum(
+                jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(grads)
+            )
+
+        rows[label + " (x1)"] = (
+            timed_scan(run_embg, p_embg, (sc_ca,)), 1
+        )
+
     for name, (ms, mult) in rows.items():
         print(f"RESULT {name:24s} {ms:8.4f} ms x{mult} -> {ms * mult:8.4f} ms/fwd")
 
@@ -248,6 +304,7 @@ def driver(N):
     comps = [
         "embedder", "ipa", "et_xla", "et_pallas",
         "et_grad_xla", "et_grad_remat", "et_grad_pallas",
+        "emb_grad_xla", "emb_grad_remat", "emb_grad_pallas",
         "seq_tfmr", "node_transition",
     ]
     print(f"N={N} B=1 dtype=bf16 (ms per single call, in-scan; slope method)")

@@ -87,6 +87,32 @@ def test_fixed_region_frozen_through_whole_trajectory(setup):
         )
 
 
+def test_hoisted_backbone_reconstruction_matches_per_step(setup):
+    """The post-scan batched atom37 rebuild (_HOIST_BACKBONE) is the same
+    math as the per-step in-scan rebuild — outputs must agree exactly."""
+    from framedipt_tpu.sampling import reverse as reverse_mod
+
+    model, diffuser, params, feats = setup
+    orig = reverse_mod._HOIST_BACKBONE
+    outs = {}
+    try:
+        for hoist in (True, False):
+            reverse_mod._HOIST_BACKBONE = hoist
+            run = build_inference_fn(
+                model, diffuser, NUM_T, MIN_T, aux_traj=True,
+                inpainting=True, noise_scale=0.1,
+            )
+            outs[hoist] = run(params, feats, jax.random.PRNGKey(7))
+    finally:
+        reverse_mod._HOIST_BACKBONE = orig
+    assert outs[True].keys() == outs[False].keys()
+    for k in outs[True]:
+        np.testing.assert_allclose(
+            np.asarray(outs[True][k]), np.asarray(outs[False][k]),
+            rtol=1e-6, atol=1e-6, err_msg=f"hoist mismatch in {k}",
+        )
+
+
 def test_deterministic_under_key(setup):
     model, diffuser, params, feats = setup
     run = build_inference_fn(model, diffuser, NUM_T, MIN_T, inpainting=True)
