@@ -169,8 +169,15 @@ def build_inference_fn(
         traj_rigids7 = traj["rigids7"]  # [T, B, N, 7]
         traj_psi = traj["psi"]
         if _HOIST_BACKBONE:
-            aatype_traj = jnp.broadcast_to(
-                aatype[None], (traj_rigids7.shape[0],) + aatype.shape
+            # aatype is None on the de novo path (preprocess_aatype returns
+            # None unless inpainting/input_aatype); compute_backbone treats
+            # None as all-ALA geometry, same as the per-step path did.
+            aatype_traj = (
+                None
+                if aatype is None
+                else jnp.broadcast_to(
+                    aatype[None], (traj_rigids7.shape[0],) + aatype.shape
+                )
             )
             atom37, atom37_mask, _, _ = frames.compute_backbone(
                 Rigid.from_tensor7(traj_rigids7), traj_psi, aatype=aatype_traj
