@@ -113,6 +113,26 @@ def test_hoisted_backbone_reconstruction_matches_per_step(setup):
         )
 
 
+def test_denovo_path_no_aatype(setup):
+    """De novo sampling (inpainting=False): preprocess_aatype returns None,
+    so the hoisted post-scan backbone rebuild must handle aatype=None
+    (regression: round-4 hoist indexed aatype unconditionally)."""
+    _, diffuser, _, feats = setup
+    denovo_model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=False)
+    denovo_feats = {k: v for k, v in feats.items() if k != "aatype"}
+    denovo_feats["fixed_mask"] = jnp.zeros((B, N), jnp.float32)
+    params = denovo_model.init(jax.random.PRNGKey(10), denovo_feats)
+    run = build_inference_fn(
+        denovo_model, diffuser, NUM_T, MIN_T, aux_traj=True, inpainting=False,
+        noise_scale=0.1,
+    )
+    out = run(params, denovo_feats, jax.random.PRNGKey(11))
+    assert out["prot_traj"].shape == (NUM_T, B, N, 37, 3)
+    assert out["rigid_0_traj"].shape == (NUM_T, B, N, 37, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite in {k}"
+
+
 def test_deterministic_under_key(setup):
     model, diffuser, params, feats = setup
     run = build_inference_fn(model, diffuser, NUM_T, MIN_T, inpainting=True)
