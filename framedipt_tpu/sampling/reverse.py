@@ -27,9 +27,19 @@ from framedipt_tpu.geometry.rigid import Rigid
 from framedipt_tpu.model.score_network import preprocess_aatype
 
 # Rebuild atom37 for the whole trajectory in one batched post-scan pass
-# instead of per scan step (identical math; measured A/B in PERF.md).
-# Module-level so scripts/profile-A/Bs can flip it between builds.
-_HOIST_BACKBONE = True
+# instead of per scan step (identical math — equality-tested in
+# tests/unit/test_sampling.py). Measured A/B on the v5e
+# (scripts/ab_sampler_variants.py, PERF.md round-4 notes): the hoist LOSES
+# ~2% at len-256 and ~3% at len-512 — in-scan, the O(N) backbone tail
+# overlaps with the step's N^2 work inside one fused program, while the
+# post-scan pass is a serial extra sweep with its own [T, B, N] HBM
+# round-trips. Default off; kept as a flag with the equality test.
+_HOIST_BACKBONE = False
+
+# lax.scan unroll factor for the reverse loop. >1 lets XLA overlap/fuse
+# across adjacent diffusion steps at the cost of a bigger program;
+# measured neutral-to-negative on the v5e (PERF.md round-4 notes), so 1.
+_SCAN_UNROLL = 1
 
 
 def build_inference_fn(
@@ -162,7 +172,7 @@ def build_inference_fn(
             return (rigids_next7, sc_next, key), ys
 
         (final_rigids7, _, _), traj = jax.lax.scan(
-            body, (rigids_t7, sc_ca, key), reverse_steps
+            body, (rigids_t7, sc_ca, key), reverse_steps, unroll=_SCAN_UNROLL
         )
 
         # Post-scan trajectory reconstruction, batched over all steps.
