@@ -238,6 +238,11 @@ def train(cfg: Config) -> None:
     diffuser = SE3Diffuser(cfg.diffuser)
     import jax.numpy as jnp
 
+    # NOT jax.default_backend(): in this environment the axon TPU plugin
+    # registers itself regardless of JAX_PLATFORMS, so default_backend()
+    # says "tpu" even when jax_default_device pins execution to CPU. The
+    # honest question is "where will jit actually place arrays?" — probe
+    # a real allocation's device platform.
     on_tpu = next(iter(jnp.zeros(()).devices())).platform == "tpu"
     if cfg.model.ipa.use_pallas_kernel is None:
         # Auto mode: train through the fused pair-MLP kernel on TPU

@@ -148,12 +148,11 @@ def build_inference_fn(
                 + (1.0 - take_reverse) * rigid_pred
             )
 
-            # O(N) backbone reconstruction is hoisted OUT of the scan: the
-            # body emits only rigids7/psi and a single post-pass rebuilds
-            # atom37 for all num_t steps at once (identical math, but the
-            # [T, B, N] batch feeds the VPU/MXU far better than num_t
-            # sequential [B, N] calls — the per-step O(N) tail is ~16% of
-            # a len-256 step, PERF.md batch roofline).
+            # With _HOIST_BACKBONE the body emits only rigids7/psi and a
+            # single post-scan pass rebuilds atom37 for all num_t steps at
+            # once; the default is the in-scan rebuild below, which
+            # measured 2-3% faster (the O(N) tail fuses into the step
+            # program — see the flag comment at module top / PERF.md).
             psi = out["psi"]
             ys = {"rigids7": rigids_next7, "psi": psi}
             if aux_traj:

@@ -1,8 +1,10 @@
 """Interleaved on-chip A/B of sampler micro-variants at the headline config.
 
 Variants (full-size model, bf16, both fused kernels, len-256 / num_t=100):
-  base     : _HOIST_BACKBONE=True,  _SCAN_UNROLL=1  (current defaults)
-  nohoist  : _HOIST_BACKBONE=False, _SCAN_UNROLL=1  (round-3 behavior)
+  base     : _HOIST_BACKBONE=True,  _SCAN_UNROLL=1  (post-scan atom37 rebuild)
+  nohoist  : _HOIST_BACKBONE=False, _SCAN_UNROLL=1  (in-scan rebuild —
+             the SHIPPED default since the round-4 measurement: the hoist
+             lost 2-3% at both lengths, see PERF.md)
   unroll2  : _HOIST_BACKBONE=True,  _SCAN_UNROLL=2
   unroll4  : _HOIST_BACKBONE=True,  _SCAN_UNROLL=4
 
