@@ -59,7 +59,8 @@ def _build_sampler(num_res: int, num_t: int, compute_dtype: str,
         model = ScoreNetwork(mc, diffuser, inpainting=True)
 
     feats = _make_feats(batch, num_res)
-    params = model.init(jax.random.PRNGKey(0), feats)
+    # jitted: eager init per-op dispatches through the tunnel (~30 ms each)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
     run = build_inference_fn(
         model, diffuser, num_t=num_t, min_t=0.01, noise_scale=0.1,
         inpainting=True, aux_traj=False,

@@ -195,7 +195,8 @@ class Inference:
             "torsion_angles_sin_cos": jnp.zeros((1, n, 7, 2)),
             "aatype": jnp.zeros((1, n), jnp.int32),
         }
-        return self.model.init(jax.random.PRNGKey(0), dummy)
+        # jitted: eager init is per-op dispatched (minutes on a tunneled TPU)
+        return jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
 
     def _create_sampler(self):
         cfg = self.cfg

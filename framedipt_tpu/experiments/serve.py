@@ -131,7 +131,9 @@ class InpaintingService:
     def _ensure_params(self, example_feats) -> None:
         if self._params is None:
             logger.warning("serving with RANDOM weights (no checkpoint given)")
-            self._params = self.model.init(jax.random.PRNGKey(0), example_feats)
+            self._params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), example_feats
+            )
 
     def _runner(self, num_t: int):
         if num_t not in self._run_cache:

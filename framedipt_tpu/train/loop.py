@@ -45,8 +45,12 @@ def init_train_state(
     feats = build_model_feats(example_batch, example_batch["rigids_0"],
                               jnp.ones(example_batch["res_mask"].shape[0]),
                               jnp.zeros_like(example_batch["rigids_0"][..., 4:]))
-    params = model.init(key, feats)
-    return TrainState(jnp.zeros((), jnp.int32), params, optimizer.init(params))
+    # jit the inits: run eagerly they are thousands of per-op dispatches,
+    # which on a remote/tunneled executor costs minutes instead of seconds.
+    params = jax.jit(model.init)(key, feats)
+    return TrainState(
+        jnp.zeros((), jnp.int32), params, jax.jit(optimizer.init)(params)
+    )
 
 
 def build_model_feats(batch: dict, rigids_t7, t, sc_ca_t) -> dict:
