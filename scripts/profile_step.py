@@ -118,7 +118,7 @@ def main():
         t7 = jnp.concatenate([quats, trans], axis=-1)
         rigids = Rigid.from_tensor7(t7)
         ipa = InvariantPointAttention(ipa_conf, dtype=DT)
-        p_ipa = ipa.init(ks[4], s, z, rigids, mask)
+        p_ipa = jax.jit(ipa.init)(ks[4], s, z, rigids, mask)
 
         def run_ipa(p, s, z, t7, mask, i):
             # z must vary per step: in the sampler the pair rep is rebuilt
@@ -143,7 +143,7 @@ def main():
             dtype=DT,
             use_pallas=use_pallas,
         )
-        p_et = et.init(ks[5], s, z, mask.astype(DT))
+        p_et = jax.jit(et.init)(ks[5], s, z, mask.astype(DT))
 
         def run_et(p, s, z, mask, i, _et=et):
             return _et.apply(
@@ -170,7 +170,7 @@ def main():
             use_pallas=use_pallas,
             bwd_impl=bwd,
         )
-        p_etg = et_g.init(ks[5], s, z, mask.astype(DT))
+        p_etg = jax.jit(et_g.init)(ks[5], s, z, mask.astype(DT))
 
         def run_etg(p, s, z, mask, i, _et=et_g):
             def loss(pp):
@@ -196,7 +196,7 @@ def main():
             d_model=d_model, num_heads=ipa_conf.seq_tfmr_num_heads, dtype=DT
         )
         x = jax.random.normal(ks[6], (B, N, d_model), DT)
-        p_st = st.init(ks[7], x, mask)
+        p_st = jax.jit(st.init)(ks[7], x, mask)
 
         def run_st(p, x, mask, i):
             return st.apply(p, x + i * 1e-6, mask)
@@ -206,7 +206,7 @@ def main():
     # Node transition (x4).
     if want("node_transition"):
         nt = StructureModuleTransition(c=ipa_conf.c_s, dtype=DT)
-        p_nt = nt.init(ks[8], s)
+        p_nt = jax.jit(nt.init)(ks[8], s)
 
         def run_nt(p, s, i):
             return nt.apply(p, s + i * 1e-6)
@@ -221,7 +221,7 @@ def main():
         fixed = jnp.zeros((B, N))
         sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
         aatype = jnp.zeros((B, N), jnp.int32)
-        p_emb = emb.init(
+        p_emb = jax.jit(emb.init)(
             key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
             self_conditioning_ca=sc_ca, aatype=aatype,
         )
@@ -261,7 +261,7 @@ def main():
         sc_ca = jax.random.normal(ks[9], (B, N, 3), jnp.float32)
         aatype = jnp.zeros((B, N), jnp.int32)
         nmask = jnp.ones((B, N)) if use_pallas_emb else None
-        p_embg = emb_g.init(
+        p_embg = jax.jit(emb_g.init)(
             key, seq_idx=seq_idx, t=tt, fixed_mask=fixed,
             self_conditioning_ca=sc_ca, aatype=aatype, node_mask=nmask,
         )
