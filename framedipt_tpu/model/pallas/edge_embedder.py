@@ -367,11 +367,11 @@ def _edge_embedder_bwd_kernel(
     g_ref, h_ref,  # [1, TI, 4K] / [1, TJ, 4K]
     xr_ref, yr_ref, zr_ref,  # [1, TI, 1] f32 row coordinates
     xc_ref, yc_ref, zc_ref,  # [1, 1, TJ] f32 col coordinates
-    i0_ref, j0_ref,  # [1, TI, C] (i_term + b0) / [1, TJ, C]
+    i0_ref, j0_ref,  # [1, TI, C] / [1, TJ, C] first-layer node terms
     rmask_ref, cmask_ref,  # [1, TI, 1] / [1, 1, TJ]
     wrel_ref, wdist_ref,  # [4K, C] / [n_bins, C]
     lower_ref, upper_ref,  # [1, n_bins] f32
-    w1_ref, b1_ref, w2_ref, b2_ref,  # MLP params
+    b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,  # MLP params
     lns_ref, lnb_ref,  # LayerNorm params (f32)
     grad_ref,  # [1, TI, TJ, C] cotangent
     # ---- outputs (grid-reduced f32 accumulators; no N^2 output at all) --
@@ -443,8 +443,12 @@ def _edge_embedder_bwd_kernel(
     x = x + jnp.dot(
         oflat, wdist_ref[:], preferred_element_type=F32
     ).astype(dtype)
+    # Same addition order as the forward kernel — b0 added AFTER i0 + j0,
+    # so the recomputed relu mask is bit-identical to the actual forward's
+    # even in bf16 (ADVICE r4: folding b0 into i0 reassociates the sum and
+    # can flip a relu mask within 1 ulp of zero).
     x = x.reshape(ti, tj, c) + i0_ref[0][:, None, :] + j0_ref[0][None, :, :]
-    y0 = jax.nn.relu(x).reshape(mm, c)  # b0 folded into i0 by the wrapper
+    y0 = jax.nn.relu(x + b0_ref[:].reshape(1, 1, c)).reshape(mm, c)
     y1 = jnp.dot(y0, w1_ref[:], preferred_element_type=F32).astype(dtype)
     y1 = jax.nn.relu(y1 + b1_ref[:].reshape(1, c))
     x2 = jnp.dot(y1, w2_ref[:], preferred_element_type=F32).astype(dtype)
@@ -574,8 +578,10 @@ def fused_edge_embedder_bwd(
         w_dist = jnp.pad(w_dist, ((0, pad_bins), (0, 0)))
         n_bins += pad_bins
 
-    # Fold b0 into the row node term (identity add; unfolded below).
-    i0 = (i_term + b0).astype(dtype)
+    # b0 rides as its own kernel ref (added after i0 + j0 in the recompute,
+    # the forward's exact addition order); its gradient is recovered from
+    # d_i0 below since d/d_i0 == d/d_b0 elementwise before the row sum.
+    i0 = i_term.astype(dtype)
     j0 = j_term.astype(dtype)
 
     # The backward holds ~2x the forward's live tiles.
@@ -655,6 +661,7 @@ def fused_edge_embedder_bwd(
         rowmask_spec(), colT_spec(),  # masks
         full_spec(cp, c), full_spec(n_bins, c),
         full_spec(1, n_bins), full_spec(1, n_bins),
+        full_spec(1, c),  # b0
         full_spec(c, c), full_spec(1, c),
         full_spec(c, c), full_spec(1, c),
         full_spec(1, c), full_spec(1, c),
@@ -675,6 +682,7 @@ def fused_edge_embedder_bwd(
         w_rel.astype(dtype), w_dist.astype(dtype),
         jnp.asarray(bins_lower, F32).reshape(1, -1),
         jnp.asarray(bins_upper, F32).reshape(1, -1),
+        b0.reshape(1, -1).astype(dtype),
         w1.astype(dtype), b1.reshape(1, -1).astype(dtype),
         w2.astype(dtype), b2.reshape(1, -1).astype(dtype),
         ln_scale.reshape(1, -1).astype(F32),
@@ -757,7 +765,9 @@ def fused_edge_embedder_bwd(
     if pad_bins:
         d_wdist = d_wdist[: n_bins - pad_bins]
 
-    # Unfold: i0 = i_term + b0 is an identity add.
+    # The relu input is base + i0 + j0 + b0, so d/d_b0 equals d/d_i0
+    # elementwise; summing the per-row accumulator over (batch, rows)
+    # yields the bias gradient without a separate kernel output.
     d_b0 = jnp.sum(d_i0, axis=(0, 1))
     cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
     return (

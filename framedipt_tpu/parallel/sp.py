@@ -22,9 +22,13 @@ identity, so single-chip tracing is unaffected. The context is entered by
 the sampler builder around tracing, so each (mesh, axis) setting owns its
 own jit cache entry (the closure differs).
 
-The fused Pallas pair-MLP kernel is a single-chip custom call and does not
-auto-partition under GSPMD; SP runs use the XLA edge-stack formulation
-(the sampler builder enforces this).
+The fused Pallas pair-MLP and edge-embedder kernels participate in SP
+runs via explicit ``shard_map`` wrappers: each device runs the kernel on
+its local row block of the edge stack (rows local, columns full — see
+``model/ipa.py:355`` and ``model/embed.py:252``). Only the flag-gated
+IPA-attention kernel is excluded under SP; the sampler builder rejects
+``use_pallas_ipa`` with an active ``sp_mesh``
+(``sampling/reverse.py`` build_inference_fn).
 """
 from __future__ import annotations
 

@@ -66,7 +66,8 @@ def build_inference_fn(
     shard the N^2 edge stack over the ``sp`` axis — sequence parallelism
     for long complexes. XLA's SPMD partitioner splits the edge einsums by
     rows against the in-model sharding constraints and inserts collectives.
-    Incompatible with the single-chip Pallas kernel path.
+    The pair-MLP and embedder Pallas kernels run per-shard via shard_map
+    under sp; only the IPA-attention kernel requires the XLA path.
     """
     # The edge-transition and embedder kernels are sp-aware: under an
     # active sp context they run per-shard via shard_map on each device's

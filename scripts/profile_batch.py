@@ -50,17 +50,31 @@ def _fwd_flops(num_res: int, batch: int = 1) -> float | None:
       variant under-reports ~12x. The XLA formulation computes identical
       math, so its count is the right MFU numerator for every variant."""
     try:
+        import dataclasses
+
         import numpy as np
 
+        from __graft_entry__ import _make_model
         from framedipt_tpu.diffusion import SE3Diffuser
         from framedipt_tpu.model import ScoreNetwork
-        from framedipt_tpu.tools.config import Config, SO3Config
+        from framedipt_tpu.tools.config import SO3Config
 
-        cfg = Config()
+        # Derive the FLOP-count model from the same config the benched
+        # programs use (__graft_entry__._make_model), with the Pallas
+        # kernels forced off so XLA's cost analysis can see every op.
+        # A smaller SO3 LUT only changes table sizes, not forward FLOPs.
+        cfg, _, _ = _make_model()
         cfg.diffuser.so3 = SO3Config(num_omega=50, num_sigma=20,
                                      cache_dir=None)
+        mc = dataclasses.replace(cfg.model)
+        mc.ipa = dataclasses.replace(
+            mc.ipa,
+            use_pallas_kernel=False,
+            use_pallas_embedder=False,
+            use_pallas_ipa=False,
+        )
         diffuser = SE3Diffuser(cfg.diffuser)
-        model = ScoreNetwork(cfg.model, diffuser, inpainting=True)
+        model = ScoreNetwork(mc, diffuser, inpainting=True)
         B, N = batch, num_res
         rng = np.random.default_rng(0)
         qs = rng.normal(size=(B, N, 4)).astype(np.float32)

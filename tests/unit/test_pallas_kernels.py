@@ -545,19 +545,16 @@ def test_edge_embedder_bwd_kernel_square_identical_pos():
 
 def test_edge_embedder_bwd_kernel_bf16_close_to_xla_vjp():
     """bf16: fused backward vs the twin's VJP differ only in rounding
-    order (both accumulate matmuls in f32). b0 is pre-folded to zero as in
-    the pair-MLP bf16 test (the in-kernel i_term+b0 fold is a bf16
-    reassociation that can flip a relu mask within 1 ulp of zero)."""
+    order (both accumulate matmuls in f32). No b0 pre-fold needed: the
+    backward now takes b0 as its own ref and adds it after i0 + j0, the
+    forward's exact addition order, so the recomputed relu mask is
+    bit-identical to the actual forward's (ADVICE r4)."""
     from framedipt_tpu.model.pallas.edge_embedder import (
         _xla_edge_embedder,
         fused_edge_embedder_bwd,
     )
 
     cot, args, (lower, upper) = _emb_bwd_args(jnp.bfloat16, seed=23)
-    (g, h, pr, pc, i_term, j_term, rm, cm,
-     w_rel, w_dist, b0, w1, b1, w2, b2, lns, lnb) = args
-    args = (g, h, pr, pc, i_term + b0, j_term, rm, cm,
-            w_rel, w_dist, jnp.zeros_like(b0), w1, b1, w2, b2, lns, lnb)
     _, vjp = jax.vjp(
         lambda *a: _xla_edge_embedder(*a, lower, upper), *args
     )

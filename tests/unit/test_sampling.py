@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from framedipt_tpu.diffusion import SE3Diffuser
 from framedipt_tpu.model import ScoreNetwork
 from framedipt_tpu.sampling import build_inference_fn
+from framedipt_tpu.sampling import reverse as reverse_mod
 from framedipt_tpu.tools.config import DiffuserConfig, ModelConfig, SO3Config
 
 SMALL_SO3 = SO3Config(num_omega=100, num_sigma=50, cache_dir=None)
@@ -113,20 +114,29 @@ def test_hoisted_backbone_reconstruction_matches_per_step(setup):
         )
 
 
-def test_denovo_path_no_aatype(setup):
+@pytest.mark.parametrize("hoist", [False, True])
+def test_denovo_path_no_aatype(setup, hoist):
     """De novo sampling (inpainting=False): preprocess_aatype returns None,
-    so the hoisted post-scan backbone rebuild must handle aatype=None
-    (regression: round-4 hoist indexed aatype unconditionally)."""
+    so both the in-scan and the hoisted post-scan backbone rebuild must
+    handle aatype=None (regression: round-4 hoist indexed aatype
+    unconditionally — only reachable with _HOIST_BACKBONE=True, so the
+    flag is set explicitly here rather than relying on the module
+    default, which is False)."""
     _, diffuser, _, feats = setup
     denovo_model = ScoreNetwork(SMALL_MODEL, diffuser, inpainting=False)
     denovo_feats = {k: v for k, v in feats.items() if k != "aatype"}
     denovo_feats["fixed_mask"] = jnp.zeros((B, N), jnp.float32)
     params = denovo_model.init(jax.random.PRNGKey(10), denovo_feats)
-    run = build_inference_fn(
-        denovo_model, diffuser, NUM_T, MIN_T, aux_traj=True, inpainting=False,
-        noise_scale=0.1,
-    )
-    out = run(params, denovo_feats, jax.random.PRNGKey(11))
+    orig = reverse_mod._HOIST_BACKBONE
+    try:
+        reverse_mod._HOIST_BACKBONE = hoist
+        run = build_inference_fn(
+            denovo_model, diffuser, NUM_T, MIN_T, aux_traj=True,
+            inpainting=False, noise_scale=0.1,
+        )
+        out = run(params, denovo_feats, jax.random.PRNGKey(11))
+    finally:
+        reverse_mod._HOIST_BACKBONE = orig
     assert out["prot_traj"].shape == (NUM_T, B, N, 37, 3)
     assert out["rigid_0_traj"].shape == (NUM_T, B, N, 37, 3)
     for k, v in out.items():
