@@ -1,0 +1,600 @@
+"""TPU-native ProteinMPNN (inverse folding).
+
+Re-implements the network the reference vendors in-tree —
+``ProteinMPNN/protein_mpnn_utils.py:998`` (``class ProteinMPNN``),
+``:899`` (``ProteinFeatures``), ``:602``/``:650`` (``EncLayer``/
+``DecLayer``), ``:1036`` (teacher-forced ``forward``), ``:1083``
+(autoregressive ``sample``), ``:170`` (``tied_featurize`` core) — as a
+jit-compilable functional JAX model, redesigned for TPU:
+
+- the 25 atom-pair RBF features are one batched neighbor gather plus a
+  static (25, 2) pair-index table (the reference runs 25 separate
+  full-L^2 distance computations + gathers, protein_mpnn_utils.py:957-983);
+- the autoregressive-decoding mask is the O(L^2) decode-rank comparison
+  instead of the reference's O(L^3) one-hot permutation einsum (:1064);
+- sampling is a single ``lax.scan`` over decode steps with on-device
+  ``jax.random.categorical`` draws — the whole design loop compiles to one
+  XLA program with zero host transfers (the reference runs a Python loop
+  dispatching ~40 kernels per residue, :1123-1166);
+- parameters are a plain pytree (imported from reference ``.pt``
+  checkpoints by :func:`convert_mpnn_state_dict`), so every entry point is
+  a pure function of (params, arrays) — trivially jit/vmap/pjit-able.
+
+Not implemented (unused by the flagship pipeline — the reference invokes
+protein_mpnn_run.py with only num_seq_per_target/sampling_temp/seed/batch,
+experiments/inference.py:584-599): pssm biasing, tied positions, CA-only
+models. ``omit_AAs`` (default "X"), global AA bias, per-residue bias and
+per-position omit masks ARE supported, matching protein_mpnn_run defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MPNN_ALPHABET = "ACDEFGHIKLMNPQRSTVWYX"  # 21 letters, X = unknown
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class MPNNConfig:
+    """Hyperparameters of the released vanilla models (v_48_*):
+    protein_mpnn_run.py:33-34 (hidden_dim=128, num_layers=3) and the
+    checkpoint's num_edges (48 for v_48_020)."""
+
+    hidden_dim: int = 128
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    k_neighbors: int = 48
+    vocab: int = 21
+    num_rbf: int = 16
+    num_positional_embeddings: int = 16
+    max_relative_feature: int = 32
+    scale: float = 30.0  # message-sum normalizer (EncLayer/DecLayer scale)
+    augment_eps: float = 0.0  # backbone noise; 0 at inference (run.py default)
+
+
+# ---------------------------------------------------------------------------
+# Parameter tree
+# ---------------------------------------------------------------------------
+
+
+def _xavier(key, shape):
+    return jax.nn.initializers.xavier_uniform()(key, shape, F32)
+
+
+def init_mpnn_params(key: jax.Array, cfg: MPNNConfig) -> dict:
+    """Fresh parameters: xavier-uniform matrices, zero biases (the reference
+    re-initializes every >1-dim parameter with xavier, utils :1032-1034)."""
+    h = cfg.hidden_dim
+    edge_in = cfg.num_positional_embeddings + cfg.num_rbf * 25
+    pos_in = 2 * cfg.max_relative_feature + 2
+    keys = iter(jax.random.split(key, 64))
+
+    def lin(nin, nout, bias=True):
+        p = {"w": _xavier(next(keys), (nin, nout))}
+        if bias:
+            p["b"] = jnp.zeros((nout,), F32)
+        return p
+
+    def ln():
+        return {"scale": jnp.ones((h,), F32), "bias": jnp.zeros((h,), F32)}
+
+    def enc_layer():
+        return {
+            "W1": lin(3 * h, h), "W2": lin(h, h), "W3": lin(h, h),
+            "W11": lin(3 * h, h), "W12": lin(h, h), "W13": lin(h, h),
+            "norm1": ln(), "norm2": ln(), "norm3": ln(),
+            "ffn_in": lin(h, 4 * h), "ffn_out": lin(4 * h, h),
+        }
+
+    def dec_layer():
+        return {
+            "W1": lin(4 * h, h), "W2": lin(h, h), "W3": lin(h, h),
+            "norm1": ln(), "norm2": ln(),
+            "ffn_in": lin(h, 4 * h), "ffn_out": lin(4 * h, h),
+        }
+
+    return {
+        "features": {
+            "pos_emb": lin(pos_in, cfg.num_positional_embeddings),
+            "edge_embedding": lin(edge_in, h, bias=False),
+            "norm_edges": ln(),
+        },
+        "W_e": lin(h, h),
+        "W_s": _xavier(next(keys), (cfg.vocab, h)),
+        "encoder": tuple(enc_layer() for _ in range(cfg.num_encoder_layers)),
+        "decoder": tuple(dec_layer() for _ in range(cfg.num_decoder_layers)),
+        "W_out": lin(h, cfg.vocab),
+    }
+
+
+def convert_mpnn_state_dict(state_dict: Mapping[str, Any]) -> dict:
+    """Reference checkpoint['model_state_dict'] -> params pytree.
+
+    Torch Linear weights [out, in] transpose to [in, out]; the W_s
+    embedding table stays [vocab, hidden] (row lookup)."""
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+
+    def lin(src, bias=True):
+        p = {"w": np.ascontiguousarray(sd[f"{src}.weight"].T)}
+        if bias:
+            p["b"] = sd[f"{src}.bias"]
+        return p
+
+    def ln(src):
+        return {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+
+    def enc_layer(i):
+        s = f"encoder_layers.{i}"
+        return {
+            "W1": lin(f"{s}.W1"), "W2": lin(f"{s}.W2"), "W3": lin(f"{s}.W3"),
+            "W11": lin(f"{s}.W11"), "W12": lin(f"{s}.W12"),
+            "W13": lin(f"{s}.W13"),
+            "norm1": ln(f"{s}.norm1"), "norm2": ln(f"{s}.norm2"),
+            "norm3": ln(f"{s}.norm3"),
+            "ffn_in": lin(f"{s}.dense.W_in"), "ffn_out": lin(f"{s}.dense.W_out"),
+        }
+
+    def dec_layer(i):
+        s = f"decoder_layers.{i}"
+        return {
+            "W1": lin(f"{s}.W1"), "W2": lin(f"{s}.W2"), "W3": lin(f"{s}.W3"),
+            "norm1": ln(f"{s}.norm1"), "norm2": ln(f"{s}.norm2"),
+            "ffn_in": lin(f"{s}.dense.W_in"), "ffn_out": lin(f"{s}.dense.W_out"),
+        }
+
+    n_enc = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("encoder_layers.")
+    )
+    n_dec = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("decoder_layers.")
+    )
+    return {
+        "features": {
+            "pos_emb": lin("features.embeddings.linear"),
+            "edge_embedding": lin("features.edge_embedding", bias=False),
+            "norm_edges": ln("features.norm_edges"),
+        },
+        "W_e": lin("W_e"),
+        "W_s": sd["W_s.weight"],
+        "encoder": tuple(enc_layer(i) for i in range(n_enc)),
+        "decoder": tuple(dec_layer(i) for i in range(n_dec)),
+        "W_out": lin("W_out"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (torch defaults: exact-erf GELU, LayerNorm eps 1e-5)
+# ---------------------------------------------------------------------------
+
+
+def _linear(p, x):
+    y = x @ p["w"]
+    return y + p["b"] if "b" in p else y
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _ffn(p, x):
+    return _linear(p["ffn_out"], _gelu(_linear(p["ffn_in"], x)))
+
+
+def _gather_nodes(nodes: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B,L,C] at [B,L,K] -> [B,L,K,C] (utils gather_nodes, :580)."""
+    b, l, c = nodes.shape
+    flat = jnp.take_along_axis(
+        nodes, idx.reshape(b, -1)[:, :, None], axis=1
+    )
+    return flat.reshape(b, l, idx.shape[-1], c)
+
+
+def _cat_neighbors_nodes(h_nodes, h_neighbors, e_idx):
+    """cat([h_E-ish, h_nodes gathered at neighbors], -1) (utils :596)."""
+    return jnp.concatenate(
+        [h_neighbors, _gather_nodes(h_nodes, e_idx)], axis=-1
+    )
+
+
+def _enc_layer(p, h_V, h_E, e_idx, mask_V, mask_attend, scale):
+    """EncLayer.forward (utils :624-647): node message + FFN + edge update."""
+    h_EV = _cat_neighbors_nodes(h_V, h_E, e_idx)
+    h_EV = jnp.concatenate(
+        [jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + h_V.shape[-1:]),
+         h_EV], axis=-1,
+    )
+    msg = _linear(p["W3"], _gelu(_linear(p["W2"], _gelu(_linear(p["W1"], h_EV)))))
+    msg = msg * mask_attend[..., None]
+    h_V = _layer_norm(p["norm1"], h_V + jnp.sum(msg, axis=-2) / scale)
+    h_V = _layer_norm(p["norm2"], h_V + _ffn(p, h_V))
+    h_V = h_V * mask_V[..., None]
+
+    h_EV = _cat_neighbors_nodes(h_V, h_E, e_idx)
+    h_EV = jnp.concatenate(
+        [jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + h_V.shape[-1:]),
+         h_EV], axis=-1,
+    )
+    msg = _linear(
+        p["W13"], _gelu(_linear(p["W12"], _gelu(_linear(p["W11"], h_EV))))
+    )
+    h_E = _layer_norm(p["norm3"], h_E + msg)
+    return h_V, h_E
+
+
+def _dec_layer(p, h_V, h_ESV, mask_V, scale):
+    """DecLayer.forward (utils :667-688). Shapes: h_V [..., H],
+    h_ESV [..., K, 3H]; works for the full [B,L,...] pass and the
+    single-position [B,1,...] pass inside the sampling scan."""
+    h_V_expand = jnp.broadcast_to(
+        h_V[..., None, :], h_ESV.shape[:-1] + h_V.shape[-1:]
+    )
+    h_EV = jnp.concatenate([h_V_expand, h_ESV], axis=-1)
+    msg = _linear(p["W3"], _gelu(_linear(p["W2"], _gelu(_linear(p["W1"], h_EV)))))
+    h_V = _layer_norm(p["norm1"], h_V + jnp.sum(msg, axis=-2) / scale)
+    h_V = _layer_norm(p["norm2"], h_V + _ffn(p, h_V))
+    return h_V * mask_V[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Featurization (ProteinFeatures, utils :899-994)
+# ---------------------------------------------------------------------------
+
+# Atom stack order used below: [N, Ca, C, O, Cb] (Cb is the ideal virtual
+# beta carbon, utils :946-949). The 25 RBF features follow the reference's
+# exact ordering (utils :957-982); entry 0 is special-cased to the masked
+# kNN distances (see _knn).
+_ATOM = {"N": 0, "Ca": 1, "C": 2, "O": 3, "Cb": 4}
+_PAIR_ORDER = [
+    ("Ca", "Ca"),
+    ("N", "N"), ("C", "C"), ("O", "O"), ("Cb", "Cb"),
+    ("Ca", "N"), ("Ca", "C"), ("Ca", "O"), ("Ca", "Cb"),
+    ("N", "C"), ("N", "O"), ("N", "Cb"), ("Cb", "C"), ("Cb", "O"),
+    ("O", "C"),
+    ("N", "Ca"), ("C", "Ca"), ("O", "Ca"), ("Cb", "Ca"),
+    ("C", "N"), ("O", "N"), ("Cb", "N"), ("C", "Cb"), ("O", "Cb"),
+    ("C", "O"),
+]
+_PAIR_IDX = np.array([[_ATOM[a], _ATOM[b]] for a, b in _PAIR_ORDER])
+
+
+def _rbf(d, num_rbf):
+    """16 gaussian bins on [2, 22] A (utils :926-934)."""
+    mu = jnp.linspace(2.0, 22.0, num_rbf)
+    sigma = (22.0 - 2.0) / num_rbf
+    return jnp.exp(-(((d[..., None] - mu) / sigma) ** 2))
+
+
+def _knn(ca, mask, k):
+    """Masked k-nearest-neighbor graph on C-alpha (utils _dist, :916-924).
+    Invalid pairs are pushed to each row's max distance before top-k, so
+    they are chosen only when fewer than k valid neighbors exist."""
+    mask_2d = mask[:, :, None] * mask[:, None, :]
+    d2 = jnp.sum((ca[:, :, None, :] - ca[:, None, :, :]) ** 2, axis=-1)
+    d = mask_2d * jnp.sqrt(d2 + 1e-6)
+    d_max = jnp.max(d, axis=-1, keepdims=True)
+    d_adjust = d + (1.0 - mask_2d) * d_max
+    neg_top, e_idx = jax.lax.top_k(-d_adjust, k)
+    return -neg_top, e_idx
+
+
+def mpnn_features(
+    p: dict, x: jax.Array, mask: jax.Array, residue_idx: jax.Array,
+    chain_labels: jax.Array, cfg: MPNNConfig,
+    key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Backbone [B,L,4,3] (N,Ca,C,O) -> edge embeddings [B,L,K,H] + kNN
+    indices [B,L,K]. One neighbor gather + one batched distance tensor
+    replaces the reference's 25 full-pairwise passes."""
+    if cfg.augment_eps > 0 and key is not None:
+        x = x + cfg.augment_eps * jax.random.normal(key, x.shape)
+
+    n, ca, c, o = x[:, :, 0], x[:, :, 1], x[:, :, 2], x[:, :, 3]
+    bvec = ca - n
+    cvec = c - ca
+    avec = jnp.cross(bvec, cvec)
+    cb = -0.58273431 * avec + 0.56802827 * bvec - 0.54067466 * cvec + ca
+
+    k = min(cfg.k_neighbors, x.shape[1])
+    d_neighbors, e_idx = _knn(ca, mask, k)
+
+    atoms = jnp.stack([n, ca, c, o, cb], axis=2)  # [B,L,5,3]
+    bsz, length = x.shape[0], x.shape[1]
+    nbr = jnp.take_along_axis(
+        atoms.reshape(bsz, length, 15),
+        e_idx.reshape(bsz, -1)[:, :, None], axis=1,
+    ).reshape(bsz, length, k, 5, 3)
+    diff = atoms[:, :, None, :, None, :] - nbr[:, :, :, None, :, :]
+    d_all = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-6)  # [B,L,K,5,5]
+    d_pairs = d_all[..., _PAIR_IDX[:, 0], _PAIR_IDX[:, 1]]  # [B,L,K,25]
+    # Entry 0 (Ca-Ca) uses the masked/adjusted kNN distances, exactly as
+    # the reference feeds D_neighbors rather than raw distances (:958).
+    d_pairs = d_pairs.at[..., 0].set(d_neighbors)
+    rbf_all = _rbf(d_pairs, cfg.num_rbf)  # [B,L,K,25,16]
+    rbf_all = rbf_all.reshape(bsz, length, k, 25 * cfg.num_rbf)
+
+    offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+    offset = jnp.take_along_axis(offset, e_idx, axis=2)
+    same_chain = (
+        chain_labels[:, :, None] == chain_labels[:, None, :]
+    ).astype(jnp.int32)
+    e_chains = jnp.take_along_axis(same_chain, e_idx, axis=2)
+    mrel = cfg.max_relative_feature
+    d = jnp.clip(offset + mrel, 0, 2 * mrel) * e_chains + (1 - e_chains) * (
+        2 * mrel + 1
+    )
+    pos = _linear(p["pos_emb"], jax.nn.one_hot(d, 2 * mrel + 2, dtype=F32))
+
+    e = jnp.concatenate([pos, rbf_all], axis=-1)
+    e = _linear(p["edge_embedding"], e)
+    return _layer_norm(p["norm_edges"], e), e_idx
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder passes
+# ---------------------------------------------------------------------------
+
+
+def mpnn_encode(params, x, mask, residue_idx, chain_labels, cfg,
+                key=None):
+    """Featurize + 3 encoder layers -> (h_V, h_E, e_idx)."""
+    e, e_idx = mpnn_features(
+        params["features"], x, mask, residue_idx, chain_labels, cfg, key
+    )
+    h_V = jnp.zeros(e.shape[:2] + (cfg.hidden_dim,), F32)
+    h_E = _linear(params["W_e"], e)
+    mask_attend = mask[:, :, None] * _gather_nodes(
+        mask[:, :, None], e_idx
+    )[..., 0]
+    for p in params["encoder"]:
+        h_V, h_E = _enc_layer(p, h_V, h_E, e_idx, mask, mask_attend, cfg.scale)
+    return h_V, h_E, e_idx
+
+
+def _decoding_order_from_randn(chain_mask, randn):
+    """argsort((chain_M + eps) * |randn|): visible positions (chain_M=0)
+    decode first (utils :1061, :1099)."""
+    return jnp.argsort((chain_mask + 0.0001) * jnp.abs(randn), axis=-1)
+
+
+def _autoregressive_masks(decoding_order, e_idx, mask):
+    """order_mask_backward[q, p] = 1 iff p decodes strictly before q —
+    the O(L^2) rank comparison equivalent to the reference's one-hot
+    permutation einsum (utils :1063-1068)."""
+    rank = jnp.argsort(decoding_order, axis=-1)  # rank[i] = decode step of i
+    omb = (rank[:, None, :] < rank[:, :, None]).astype(F32)  # [B,q,p]
+    mask_attend = jnp.take_along_axis(omb, e_idx, axis=2)[..., None]
+    mask_1d = mask[:, :, None, None]
+    mask_bw = mask_1d * mask_attend
+    mask_fw = mask_1d * (1.0 - mask_attend)
+    return mask_bw, mask_fw
+
+
+def mpnn_log_probs(
+    params: dict, x: jax.Array, s: jax.Array, mask: jax.Array,
+    chain_m: jax.Array, residue_idx: jax.Array, chain_labels: jax.Array,
+    cfg: MPNNConfig, randn: jax.Array | None = None,
+    decoding_order: jax.Array | None = None, key: jax.Array | None = None,
+) -> jax.Array:
+    """Teacher-forced log-probabilities [B,L,21] (ProteinMPNN.forward,
+    utils :1036-1079). Pass ``decoding_order`` for the reference's
+    use_input_decoding_order path, else ``randn`` draws the random order."""
+    h_V, h_E, e_idx = mpnn_encode(
+        params, x, mask, residue_idx, chain_labels, cfg, key
+    )
+    h_S = params["W_s"][s]
+    h_ES = _cat_neighbors_nodes(h_S, h_E, e_idx)
+    h_EX = _cat_neighbors_nodes(jnp.zeros_like(h_S), h_E, e_idx)
+    h_EXV = _cat_neighbors_nodes(h_V, h_EX, e_idx)
+
+    chain_m = chain_m * mask
+    if decoding_order is None:
+        decoding_order = _decoding_order_from_randn(chain_m, randn)
+    mask_bw, mask_fw = _autoregressive_masks(decoding_order, e_idx, mask)
+
+    h_EXV_fw = mask_fw * h_EXV
+    for p in params["decoder"]:
+        h_ESV = mask_bw * _cat_neighbors_nodes(h_V, h_ES, e_idx) + h_EXV_fw
+        h_V = _dec_layer(p, h_V, h_ESV, mask, cfg.scale)
+    return jax.nn.log_softmax(_linear(params["W_out"], h_V), axis=-1)
+
+
+def mpnn_unconditional_log_probs(
+    params, x, mask, residue_idx, chain_labels, cfg, key=None
+):
+    """p(s_i | backbone) in one pass (utils :1332-1362): every position
+    sees only forward (encoder) context."""
+    h_V, h_E, e_idx = mpnn_encode(
+        params, x, mask, residue_idx, chain_labels, cfg, key
+    )
+    h_EX = _cat_neighbors_nodes(jnp.zeros_like(h_V), h_E, e_idx)
+    h_EXV = _cat_neighbors_nodes(h_V, h_EX, e_idx)
+    h_EXV_fw = mask[:, :, None, None] * h_EXV
+    for p in params["decoder"]:
+        h_V = _dec_layer(p, h_V, h_EXV_fw, mask, cfg.scale)
+    return jax.nn.log_softmax(_linear(params["W_out"], h_V), axis=-1)
+
+
+def mpnn_scores(s, log_probs, mask):
+    """Masked mean NLL per sample (utils _scores, :18-26)."""
+    nll = -jnp.take_along_axis(log_probs, s[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask, axis=-1) / jnp.sum(mask, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive sampling (ProteinMPNN.sample, utils :1083-1168)
+# ---------------------------------------------------------------------------
+
+
+def mpnn_sample(
+    params: dict, key: jax.Array, x: jax.Array, randn: jax.Array,
+    s_true: jax.Array, chain_mask: jax.Array, chain_labels: jax.Array,
+    residue_idx: jax.Array, mask: jax.Array, cfg: MPNNConfig,
+    temperature: float = 0.1,
+    omit_aas: jax.Array | None = None,
+    bias_aas: jax.Array | None = None,
+    chain_m_pos: jax.Array | None = None,
+    omit_aa_mask: jax.Array | None = None,
+    bias_by_res: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Sample sequences for masked positions. One lax.scan over decode
+    steps; every step runs the 3 decoder layers on that step's position
+    only, updating the per-layer h_V stack in place — the reference
+    algorithm (utils :1123-1166) with all gathers/scatters on device.
+
+    The reference's per-step branch "if all batch members are padded here,
+    copy S_true" (:1128) is an elementwise where() — identical because
+    chain_mask already contains the validity mask, so sampled values are
+    never selected at padded positions.
+    """
+    bsz, length = x.shape[0], x.shape[1]
+    vocab = cfg.vocab
+    if omit_aas is None:  # protein_mpnn_run default: omit X
+        omit_aas = jnp.zeros((vocab,), F32).at[MPNN_ALPHABET.index("X")].set(1.0)
+    if bias_aas is None:
+        bias_aas = jnp.zeros((vocab,), F32)
+    if chain_m_pos is None:
+        chain_m_pos = jnp.ones((bsz, length), F32)
+    if bias_by_res is None:
+        bias_by_res = jnp.zeros((bsz, length, vocab), F32)
+
+    h_V_enc, h_E, e_idx = mpnn_encode(
+        params, x, mask, residue_idx, chain_labels, cfg
+    )
+    chain_mask = chain_mask * chain_m_pos * mask
+    decoding_order = _decoding_order_from_randn(chain_mask, randn)
+    mask_bw, mask_fw = _autoregressive_masks(decoding_order, e_idx, mask)
+
+    h_EX = _cat_neighbors_nodes(jnp.zeros_like(h_V_enc), h_E, e_idx)
+    h_EXV_fw = mask_fw * _cat_neighbors_nodes(h_V_enc, h_EX, e_idx)
+
+    n_dec = len(params["decoder"])
+    h_V_stack0 = (h_V_enc,) + tuple(
+        jnp.zeros_like(h_V_enc) for _ in range(n_dec)
+    )
+    carry0 = {
+        "h_S": jnp.zeros_like(h_V_enc),
+        "h_V": h_V_stack0,
+        "S": jnp.zeros((bsz, length), jnp.int32),
+        "probs": jnp.zeros((bsz, length, vocab), F32),
+    }
+    step_keys = jax.random.split(key, length)
+    b_idx = jnp.arange(bsz)
+
+    def step(carry, xs):
+        t, k_t = xs  # t: [B] positions decoded this step
+        chain_mask_g = chain_mask[b_idx, t]  # [B]
+        e_idx_t = e_idx[b_idx, t]  # [B,K]
+        h_e_t = h_E[b_idx, t]  # [B,K,H]
+        h_s_j = jnp.take_along_axis(
+            carry["h_S"], e_idx_t[:, :, None], axis=1
+        )
+        h_es_t = jnp.concatenate([h_e_t, h_s_j], axis=-1)  # [B,K,2H]
+        h_exv_t = h_EXV_fw[b_idx, t]  # [B,K,3H]
+        mask_bw_t = mask_bw[b_idx, t]  # [B,K,1]
+        mask_g = mask[b_idx, t]  # [B]
+
+        h_V = list(carry["h_V"])
+        for layer, p in enumerate(params["decoder"]):
+            h_v_j = jnp.take_along_axis(
+                h_V[layer], e_idx_t[:, :, None], axis=1
+            )
+            h_esv_dec = jnp.concatenate([h_es_t, h_v_j], axis=-1)
+            h_v_t = h_V[layer][b_idx, t]  # [B,H]
+            h_esv_t = mask_bw_t * h_esv_dec + h_exv_t
+            new = _dec_layer(p, h_v_t, h_esv_t, mask_g, cfg.scale)
+            h_V[layer + 1] = h_V[layer + 1].at[b_idx, t].set(new)
+
+        logits = _linear(params["W_out"], h_V[-1][b_idx, t]) / temperature
+        logits = (
+            logits
+            - omit_aas[None, :] * 1e8
+            + bias_aas[None, :] / temperature
+            + bias_by_res[b_idx, t] / temperature
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        if omit_aa_mask is not None:
+            pm = probs * (1.0 - omit_aa_mask[b_idx, t])
+            probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
+        sampled = jax.random.categorical(k_t, jnp.log(probs + 1e-20), axis=-1)
+        s_true_g = s_true[b_idx, t]
+        s_t = jnp.where(
+            chain_mask_g > 0, sampled, s_true_g
+        ).astype(jnp.int32)
+        probs_out = carry["probs"].at[b_idx, t].set(
+            chain_mask_g[:, None] * probs
+        )
+        h_S = carry["h_S"].at[b_idx, t].set(params["W_s"][s_t])
+        S = carry["S"].at[b_idx, t].set(s_t)
+        return (
+            {"h_S": h_S, "h_V": tuple(h_V), "S": S, "probs": probs_out},
+            None,
+        )
+
+    carry, _ = jax.lax.scan(step, carry0, (decoding_order.T, step_keys))
+    return {
+        "S": carry["S"],
+        "probs": carry["probs"],
+        "decoding_order": decoding_order,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Featurization from chain dicts (tied_featurize core, utils :170-416)
+# ---------------------------------------------------------------------------
+
+
+def featurize_chains(
+    chains: list[tuple[str, np.ndarray]],
+    designed: list[bool] | None = None,
+) -> dict[str, np.ndarray]:
+    """[(seq, coords[L,4,3] N/Ca/C/O), ...] -> model input arrays (B=1).
+
+    Reproduces the tied_featurize contract for the no-dict invocation the
+    flagship pipeline uses (all chains designed, no fixed positions):
+    residue_idx jumps 100 between chains, chain encodings are 1-based,
+    missing (non-finite) residues are masked and zero-filled.
+    """
+    if designed is None:
+        designed = [True] * len(chains)
+    seqs, coords, enc, res_idx, ch_m = [], [], [], [], []
+    l0 = 0
+    for c, ((seq, xyz), des) in enumerate(zip(chains, designed), start=1):
+        if len(seq) != len(xyz):
+            raise ValueError(f"chain {c}: seq len {len(seq)} != coords {len(xyz)}")
+        seqs.append(seq)
+        coords.append(np.asarray(xyz, np.float64))
+        enc.append(np.full(len(seq), c))
+        res_idx.append(100 * (c - 1) + np.arange(l0, l0 + len(seq)))
+        ch_m.append(np.full(len(seq), 1.0 if des else 0.0))
+        l0 += len(seq)
+    x = np.concatenate(coords, axis=0)[None]  # [1,L,4,3]
+    seq = "".join(seqs)
+    s = np.array(
+        [MPNN_ALPHABET.index(a if a in MPNN_ALPHABET else "X") for a in seq],
+        np.int32,
+    )[None]
+    mask = np.isfinite(x.sum(axis=(2, 3))).astype(np.float32)
+    x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
+    return {
+        "X": x,
+        "S": s,
+        "mask": mask,
+        "chain_M": np.concatenate(ch_m)[None].astype(np.float32),
+        "chain_encoding_all": np.concatenate(enc)[None].astype(np.int32),
+        "residue_idx": np.concatenate(res_idx)[None].astype(np.int32),
+    }
