@@ -547,16 +547,36 @@ class Inference:
 
         sc_dir = sample_dir / "self_consistency"
         sc_dir.mkdir(exist_ok=True)
+        # In-process TPU-native MPNN is the default (model/mpnn.py, parity
+        # tested); the reference's subprocess invocation remains as a
+        # fallback for environments that carry a ProteinMPNN checkout but
+        # no weights file.
         try:
-            seqs_dir = external.run_protein_mpnn(
+            from framedipt_tpu.tools import mpnn_design
+
+            seqs_dir = mpnn_design.design_sequences(
                 pdb_dir=sample_dir,
                 output_dir=sc_dir,
-                mpnn_repo=getattr(self.cfg.inference, "pmpnn_dir", None),
                 num_seq_per_target=self.cfg.inference.samples.seq_per_sample,
+                weights_path=getattr(
+                    self.cfg.inference, "mpnn_weights_path", None
+                ),
             )
-        except external.ToolUnavailable as e:
-            logger.warning(f"self-consistency skipped: {e}")
-            return
+        except external.ToolUnavailable as e_inproc:
+            try:
+                seqs_dir = external.run_protein_mpnn(
+                    pdb_dir=sample_dir,
+                    output_dir=sc_dir,
+                    mpnn_repo=getattr(self.cfg.inference, "pmpnn_dir", None),
+                    num_seq_per_target=(
+                        self.cfg.inference.samples.seq_per_sample
+                    ),
+                )
+            except external.ToolUnavailable as e:
+                logger.warning(
+                    f"self-consistency skipped: {e_inproc}; fallback: {e}"
+                )
+                return
 
         sample_prot = from_pdb_string(pathlib.Path(sample_pdb).read_text())
         sample_ca = sample_prot.atom_positions[:, rc.CA_IDX]

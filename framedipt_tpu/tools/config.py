@@ -309,7 +309,10 @@ class InferenceConfig:
     confidence_score: str | None = None
     output_dir: str = "./inference_outputs/"
     weights_path: str = "./weights/inpainting.pth"
-    pmpnn_dir: str | None = None  # ProteinMPNN checkout for self-consistency
+    pmpnn_dir: str | None = None  # ProteinMPNN checkout (subprocess fallback)
+    # In-process TPU-native ProteinMPNN weights (model/mpnn.py); .pt reference
+    # checkpoint or converted .npz. fetch via scripts/fetch_weights.py.
+    mpnn_weights_path: str = "./weights/mpnn/v_48_020.pt"
     save_backbone_trajectory: bool = True
     save_pred_x0_trajectory: bool = True
     diffusion: InferenceDiffusionConfig = field(

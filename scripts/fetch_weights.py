@@ -20,11 +20,19 @@ import urllib.request
 
 BASE = "https://huggingface.co/InstaDeepAI/FrameDiPTModels/resolve/main/weights"
 FILES = ("inpainting.pth", "denovo.pth")
+# Released ProteinMPNN vanilla weights (for the in-process JAX MPNN,
+# framedipt_tpu/model/mpnn.py). Same checkpoint protein_mpnn_run.py loads
+# by default (model_name v_48_020).
+MPNN_URL = (
+    "https://github.com/dauparas/ProteinMPNN/raw/main/"
+    "vanilla_model_weights/v_48_020.pt"
+)
 
 
 def fetch(out_dir: pathlib.Path, timeout: float = 30.0) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     failures = 0
+    extra = [("mpnn/v_48_020.pt", MPNN_URL)]
     for name in FILES:
         dest = out_dir / name
         if dest.exists() and dest.stat().st_size > 1_000_000:
@@ -34,6 +42,22 @@ def fetch(out_dir: pathlib.Path, timeout: float = 30.0) -> int:
         print(f"downloading {url} -> {dest}")
         try:
             with urllib.request.urlopen(url, timeout=timeout) as resp:
+                dest.write_bytes(resp.read())
+            print(f"  ok ({dest.stat().st_size} bytes)")
+        except (urllib.error.URLError, OSError, TimeoutError) as exc:
+            failures += 1
+            print(f"  FAILED: {exc} (offline environment? tests will skip)")
+            if dest.exists():
+                dest.unlink()
+    for rel, url in extra:
+        dest = out_dir / rel
+        if dest.exists() and dest.stat().st_size > 1_000_000:
+            print(f"{dest} already present ({dest.stat().st_size} bytes)")
+            continue
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        print(f"downloading {url} -> {dest}")
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
                 dest.write_bytes(resp.read())
             print(f"  ok ({dest.stat().st_size} bytes)")
         except (urllib.error.URLError, OSError, TimeoutError) as exc:

@@ -1,0 +1,99 @@
+"""In-process MPNN design runner: PDB -> reference-format fasta.
+
+Output contract: protein_mpnn_run.py:349-368 (native record first, then
+``>T=..., sample=n, score=..., global_score=..., seq_recovery=...`` per
+sample; '/' joins chains)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from framedipt_tpu.data.protein import Protein, to_pdb
+from framedipt_tpu.model import mpnn
+from framedipt_tpu.tools import mpnn_design
+from framedipt_tpu.tools.external import ToolUnavailable
+
+from .geom_helpers import nerf_backbone
+
+CFG = mpnn.MPNNConfig(k_neighbors=12)
+
+
+def _two_chain_pdb(n1=14, n2=10) -> str:
+    n = n1 + n2
+    atom37, mask = nerf_backbone(n)
+    atom37 = atom37.copy()
+    atom37[n1:] += np.array([25.0, 0.0, 0.0])  # separate the chains
+    return to_pdb(
+        Protein(
+            atom_positions=atom37,
+            atom_mask=mask,
+            aatype=np.arange(n) % 20,
+            residue_index=np.concatenate(
+                [np.arange(1, n1 + 1), np.arange(1, n2 + 1)]
+            ),
+            chain_index=np.concatenate(
+                [np.zeros(n1, np.int32), np.ones(n2, np.int32)]
+            ),
+            b_factors=np.zeros((n, 37)),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def params():
+    import jax
+
+    return mpnn.init_mpnn_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_design_sequences_fasta_contract(tmp_path, params):
+    (tmp_path / "sample_0.pdb").write_text(_two_chain_pdb())
+    seqs_dir = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=3, params=params,
+        cfg=CFG,
+    )
+    fa = (seqs_dir / "sample_0.fa").read_text().splitlines()
+    assert len(fa) == 2 * (1 + 3)
+    assert fa[0].startswith(">sample_0, score=")
+    assert "designed_chains=['A', 'B']" in fa[0]
+    native = fa[1]
+    assert native.count("/") == 1
+    a, b = native.split("/")
+    assert (len(a), len(b)) == (14, 10)
+    for i in range(3):
+        hdr, seq = fa[2 + 2 * i], fa[3 + 2 * i]
+        assert hdr.startswith(f">T=0.1, sample={i + 1}, score=")
+        assert "seq_recovery=" in hdr
+        assert len(seq) == len(native)
+        # omit_AAs default: X never designed
+        assert "X" not in seq.replace("/", "")
+
+
+def test_design_sequences_no_pdbs_raises(tmp_path, params):
+    with pytest.raises(ToolUnavailable):
+        mpnn_design.design_sequences(
+            tmp_path, tmp_path / "sc", params=params, cfg=CFG
+        )
+
+
+def test_load_params_npz_roundtrip(tmp_path):
+    """Converted-.npz load path: flat state_dict names + num_edges."""
+    from tests.parity.fixture_lib import synth_value
+
+    data = np.load("tests/parity/fixtures/recorded_mpnn_parity.npz")
+    names = [str(n) for n in data["manifest_names"]]
+    shapes = [
+        tuple(int(x) for x in s.split(",")) for s in data["manifest_shapes"]
+    ]
+    flat = {n: synth_value(n, s, seed=int(data["seed"]))
+            for n, s in zip(names, shapes)}
+    np.savez(tmp_path / "w.npz", num_edges=np.int64(48), **flat)
+    params, cfg = mpnn_design.load_mpnn_params(tmp_path / "w.npz")
+    assert cfg.k_neighbors == 48
+    assert params["W_s"].shape == (21, 128)
+    assert len(params["encoder"]) == 3
+
+
+def test_load_params_missing_raises(tmp_path):
+    with pytest.raises(ToolUnavailable):
+        mpnn_design.load_mpnn_params(tmp_path / "nope.pt")
