@@ -126,6 +126,68 @@ def main() -> None:
     print(f"wrote {fixture_lib.FIXTURE} ({size_kb:.0f} KiB, "
           f"{len(manifest)} params in manifest)")
 
+    record_denovo(torch, ref_exp_utils, ref_diffuser, ref_ns)
+
+
+def record_denovo(torch, ref_exp_utils, ref_diffuser, ref_ns) -> None:
+    """The denovo.pth configuration (inpainting=False, input_aatype=False
+    — ref experiments/inference.py:192): its embedder has a different
+    input width, so it gets its own manifest + fixture. Pins the exact
+    path that broke in round 4 (aatype=None, commit 6379991) against
+    torch, offline, non-skipped (VERDICT r4 item 3)."""
+    from framedipt.model.score_network import ScoreNetwork as RefScoreNetwork
+
+    ref_model = RefScoreNetwork(ref_ns.model, ref_diffuser, inpainting=False)
+    manifest = [
+        [name, list(tensor.shape)]
+        for name, tensor in ref_model.state_dict().items()
+    ]
+    sd = fixture_lib.synth_state_dict(manifest)
+    ref_model.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+    ref_model.eval()
+
+    feats = fixture_lib.make_feats_denovo()
+    torch_feats = {k: torch.tensor(v) for k, v in feats.items()}
+    torch_feats["seq_idx"] = torch_feats["seq_idx"].long()
+
+    with torch.no_grad():
+        fwd = ref_model(torch_feats)
+    out = {
+        "out::psi": fwd["psi"].numpy(),
+        "out::atom37": fwd["atom37"].numpy(),
+        "out::rot_score": fwd["rot_score"].numpy(),
+        "out::trans_score": fwd["trans_score"].numpy(),
+    }
+    for num_t, key in (
+        (fixture_lib.NUM_T, "traj::ca_final"),
+        (fixture_lib.NUM_T_LONG, "traj100::ca_traj"),
+    ):
+        with torch.no_grad():
+            traj = ref_exp_utils.inference_fn(
+                model=ref_model,
+                diffuser=ref_diffuser,
+                data_init={k: v.clone() for k, v in torch_feats.items()},
+                num_t=num_t,
+                min_t=0.01,
+                aux_traj=False,
+                noise_scale=0.0,
+                embed_self_conditioning=True,
+                inpainting=False,
+                input_aatype=False,
+            )
+        ca = np.asarray(traj["prot_traj"])[:, 0, :, 1].astype(np.float32)
+        out[key] = ca[0] if key == "traj::ca_final" else ca
+
+    np.savez_compressed(
+        fixture_lib.FIXTURE_DENOVO,
+        param_manifest=np.array(json.dumps(manifest)),
+        **{f"feat::{k}": v for k, v in feats.items()},
+        **out,
+    )
+    size_kb = fixture_lib.FIXTURE_DENOVO.stat().st_size / 1024
+    print(f"wrote {fixture_lib.FIXTURE_DENOVO} ({size_kb:.0f} KiB, "
+          f"{len(manifest)} params in manifest)")
+
 
 if __name__ == "__main__":
     main()
