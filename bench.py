@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import pathlib
 import statistics
 import sys
 import time
@@ -32,6 +33,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -124,19 +126,15 @@ def bench_single(num_res: int, num_t: int, compute_dtype: str,
     return _stats(times, num_t)
 
 
-def bench_train_step(batch: int = 4, num_res: int = 256,
-                     compute_dtype: str = "bfloat16",
-                     use_pallas: bool = False,
-                     use_pallas_embedder: bool = False,
-                     emb_bwd: str = "xla") -> dict:
-    """Full fused train step (noising + fwd + DSM losses + Adam update) at
-    the published model size; reported as examples/s via the two-length
-    scan slope (cancels the ~30 ms dispatch exactly — single-call timings
-    are meaningless on the tunneled executor, see PERF.md). With
-    ``use_pallas`` the edge transitions run the fused pair-MLP kernel
-    forward AND the fused backward kernel (pallas_bwd_impl="pallas");
-    ``emb_bwd`` selects the embedder kernel's backward ("xla" remat twin
-    or "pallas" fused backward)."""
+def _build_train_runner(batch: int = 4, num_res: int = 256,
+                        compute_dtype: str = "bfloat16",
+                        use_pallas: bool = False,
+                        use_pallas_embedder: bool = False,
+                        emb_bwd: str = "xla"):
+    """Build the two-length scan runners for one train variant (see
+    bench_train_step). Returns (time_once, batch) where time_once(i)
+    runs the lo and hi scans once each and returns seconds-per-step via
+    the slope (cancels the ~30 ms dispatch exactly)."""
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.train.loop import (
@@ -197,26 +195,148 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
     base = time.time_ns() % (2**31 - 1)
     lo, hi = 8, 32
     run_lo, run_hi = steps(lo), steps(hi)
-    # Warm 3x: JAX compiles twice (second when outputs commit shardings).
-    for i in range(3):
-        jax.block_until_ready(run_lo(state, jax.random.PRNGKey(base + i)))
-        jax.block_until_ready(run_hi(state, jax.random.PRNGKey(base + 10 + i)))
 
-    per_step = []
-    for i in range(TIMED_CALLS):
+    def warm() -> None:
+        # Warm 3x: JAX compiles twice (second when outputs commit
+        # shardings).
+        for i in range(3):
+            jax.block_until_ready(run_lo(state, jax.random.PRNGKey(base + i)))
+            jax.block_until_ready(
+                run_hi(state, jax.random.PRNGKey(base + 10 + i))
+            )
+
+    def time_once(i: int) -> float:
         t0 = time.perf_counter()
-        jax.block_until_ready(run_lo(state, jax.random.PRNGKey(base + 100 + i)))
+        jax.block_until_ready(
+            run_lo(state, jax.random.PRNGKey(base + 100 + i))
+        )
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(run_hi(state, jax.random.PRNGKey(base + 200 + i)))
+        jax.block_until_ready(
+            run_hi(state, jax.random.PRNGKey(base + 200 + i))
+        )
         t_hi = time.perf_counter() - t0
-        per_step.append((t_hi - t_lo) / (hi - lo))
+        return (t_hi - t_lo) / (hi - lo)
+
+    return warm, time_once
+
+
+def _train_stats(per_step: list[float], batch: int) -> dict:
     ex_rates = sorted(batch / t for t in per_step)
     return {
         "median": round(statistics.median(ex_rates), 2),
         "spread": round(ex_rates[-1] - ex_rates[0], 2),
         "n": len(ex_rates),
         "step_ms": round(1e3 * statistics.median(per_step), 2),
+    }
+
+
+def bench_train_step(batch: int = 4, num_res: int = 256,
+                     compute_dtype: str = "bfloat16",
+                     use_pallas: bool = False,
+                     use_pallas_embedder: bool = False,
+                     emb_bwd: str = "xla") -> dict:
+    """Full fused train step (noising + fwd + DSM losses + Adam update) at
+    the published model size; reported as examples/s via the two-length
+    scan slope (cancels the ~30 ms dispatch exactly — single-call timings
+    are meaningless on the tunneled executor, see PERF.md). With
+    ``use_pallas`` the edge transitions run the fused pair-MLP kernel
+    forward AND the fused backward kernel (pallas_bwd_impl="pallas");
+    ``emb_bwd`` selects the embedder kernel's backward ("xla" remat twin
+    or "pallas" fused backward)."""
+    warm, time_once = _build_train_runner(
+        batch, num_res, compute_dtype, use_pallas, use_pallas_embedder,
+        emb_bwd,
+    )
+    warm()
+    return _train_stats([time_once(i) for i in range(TIMED_CALLS)], batch)
+
+
+def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4) -> dict:
+    """Interleaved same-process A/B of two train variants (A,B,A,B,...),
+    reporting each variant's stats PLUS the paired per-iteration delta —
+    the way close calls are actually adjudicated (VERDICT r4 weak #1:
+    independent medians' spreads dwarf a ~2% effect; paired deltas cancel
+    the slow drift both variants share)."""
+    warm_a, time_a = _build_train_runner(batch=batch, **spec_a)
+    warm_b, time_b = _build_train_runner(batch=batch, **spec_b)
+    warm_a()
+    warm_b()
+    per_a, per_b, deltas = [], [], []
+    for i in range(TIMED_CALLS):
+        ta = time_a(i)
+        tb = time_b(i)
+        per_a.append(ta)
+        per_b.append(tb)
+        deltas.append(batch / tb - batch / ta)  # examples/s, B minus A
+    deltas.sort()
+    return {
+        "a": _train_stats(per_a, batch),
+        "b": _train_stats(per_b, batch),
+        "paired_delta_b_minus_a": {
+            "median": round(statistics.median(deltas), 2),
+            "min": round(deltas[0], 2),
+            "max": round(deltas[-1], 2),
+            "n": len(deltas),
+        },
+    }
+
+
+def bench_mpnn(num_res: int = 256, num_seqs: int = 8) -> dict:
+    """In-process ProteinMPNN design throughput (seqs/s): one batched
+    jit'd sample+score call for all num_seqs sequences of a length-256
+    backbone (synthesized weights — throughput is weight-independent).
+    The reference runs this as a subprocess looping one sequence at a
+    time (protein_mpnn_run.py:210-340)."""
+    from framedipt_tpu.model import mpnn
+    from framedipt_tpu.tools.mpnn_design import _design_batch
+
+    cfg = mpnn.MPNNConfig()  # released v_48 hyperparams, k=48
+    params = mpnn.init_mpnn_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ca = np.cumsum(
+        rng.normal(0, 0.5, (num_res, 3)) + np.array([3.0, 1.5, 0.8]), axis=0
+    )
+    xyz = ca[:, None, :] + rng.normal(0, 0.6, (num_res, 4, 3))
+    seq = "".join("ACDEFGHIKLMNPQRSTVWY"[i % 20] for i in range(num_res))
+    feats = mpnn.featurize_chains([(seq, xyz)])
+    feats = {k: jnp.asarray(v) for k, v in feats.items()}
+
+    # A single design batch is ~ms-scale, far below the ~30 ms dispatch
+    # jitter — time a scan of K batches and use the two-length slope.
+    def runner(n_iter: int):
+        @jax.jit
+        def run(key):
+            def body(_, k):
+                out = _design_batch(params, k, feats, cfg, num_seqs, 0.1)
+                return (), out["S"][0, 0]
+
+            _, s = jax.lax.scan(body, (), jax.random.split(key, n_iter))
+            return s
+
+        return run
+
+    lo, hi = 4, 16
+    run_lo, run_hi = runner(lo), runner(hi)
+    base = time.time_ns() % (2**31 - 1)
+    for i in range(2):
+        jax.block_until_ready(run_lo(jax.random.PRNGKey(base + i)))
+        jax.block_until_ready(run_hi(jax.random.PRNGKey(base + 10 + i)))
+    per_call = []
+    for i in range(TIMED_CALLS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_lo(jax.random.PRNGKey(base + 100 + i)))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_hi(jax.random.PRNGKey(base + 200 + i)))
+        t_hi = time.perf_counter() - t0
+        per_call.append((t_hi - t_lo) / (hi - lo))
+    rates = sorted(num_seqs / t for t in per_call)
+    return {
+        "median": round(statistics.median(rates), 2),
+        "spread": round(rates[-1] - rates[0], 2),
+        "n": len(rates),
+        "unit": "seqs/s",
     }
 
 
@@ -301,22 +421,53 @@ def main() -> None:
         _record_failure("len256_bf16_pallas_batch5", e)
 
     # Training path (examples/s, dispatch-free slope): XLA saved-activation
-    # backward vs fused pair-MLP forward + fused backward kernel.
-    for name, use_pallas, use_emb, emb_bwd in (
-        ("train_step_4x256_bf16", False, False, "xla"),
-        ("train_step_4x256_bf16_pallas_bwd", True, False, "xla"),
-        # + embedder kernel with its fused Pallas backward (the cotangent
-        # read is its only N^2 HBM traffic).
-        ("train_step_4x256_bf16_pallas_emb_bwd", True, True, "pallas"),
-    ):
-        try:
-            results[name] = bench_train_step(
-                use_pallas=use_pallas, use_pallas_embedder=use_emb,
-                emb_bwd=emb_bwd,
-            )
-            print(f"{name}: {results[name]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            _record_failure(name, e)
+    # backward solo, then the two fused-backward variants as an interleaved
+    # paired A/B (their ~2% difference needs paired deltas to adjudicate).
+    try:
+        results["train_step_4x256_bf16"] = bench_train_step()
+        print(
+            f"train_step_4x256_bf16: {results['train_step_4x256_bf16']}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        _record_failure("train_step_4x256_bf16", e)
+    try:
+        pair = bench_train_pair(
+            # A: fused pair-MLP forward + fused backward kernel.
+            {"use_pallas": True},
+            # B: + embedder kernel with its fused Pallas backward (the
+            # cotangent read is its only N^2 HBM traffic).
+            {"use_pallas": True, "use_pallas_embedder": True,
+             "emb_bwd": "pallas"},
+        )
+        results["train_step_4x256_bf16_pallas_bwd"] = pair["a"]
+        results["train_step_4x256_bf16_pallas_emb_bwd"] = pair["b"]
+        results["train_emb_bwd_paired_delta"] = (
+            pair["paired_delta_b_minus_a"]
+        )
+        print(f"train pallas A/B: {pair}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        _record_failure("train_step_4x256_bf16_pallas_ab_pair", e)
+
+    # In-process MPNN sequence design (round-5 component).
+    try:
+        results["mpnn_design_256x8"] = bench_mpnn()
+        print(f"mpnn_design_256x8: {results['mpnn_design_256x8']}",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        _record_failure("mpnn_design_256x8", e)
+
+    # Fused-backward grad parity vs the XLA twins, on this exact stack
+    # (VERDICT r4 weak #4: a libtpu bump could silently degrade parity
+    # while still compiling — record the figures driver-visibly).
+    try:
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "scripts"))
+        from tpu_smoke_bwd import kernel_parity
+
+        results["kernel_parity"] = kernel_parity(n=512)
+        print(f"kernel_parity: {results['kernel_parity']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        _record_failure("kernel_parity", e)
 
     # vs_baseline is computed from succeeded variants only.
     len256 = [

@@ -20,10 +20,15 @@ jit-compilable functional JAX model, redesigned for TPU:
   checkpoints by :func:`convert_mpnn_state_dict`), so every entry point is
   a pure function of (params, arrays) — trivially jit/vmap/pjit-able.
 
-Not implemented (unused by the flagship pipeline — the reference invokes
-protein_mpnn_run.py with only num_seq_per_target/sampling_temp/seed/batch,
-experiments/inference.py:584-599): pssm biasing, tied positions, CA-only
-models. ``omit_AAs`` (default "X"), global AA bias, per-residue bias and
+Both released model families are supported: the vanilla N/Ca/C/O models
+(``ProteinFeatures``) and the CA-only models (``CA_ProteinFeatures``,
+utils :718-894 — 9 Ca-window RBFs + local-frame orientation/quaternion
+features), selected by ``MPNNConfig.ca_only`` / detected from the
+checkpoint by the importer. Not implemented (unused by the flagship
+pipeline — the reference invokes protein_mpnn_run.py with only
+num_seq_per_target/sampling_temp/seed/batch,
+experiments/inference.py:584-599): pssm biasing, tied positions.
+``omit_AAs`` (default "X"), global AA bias, per-residue bias and
 per-position omit masks ARE supported, matching protein_mpnn_run defaults.
 """
 from __future__ import annotations
@@ -56,6 +61,7 @@ class MPNNConfig:
     max_relative_feature: int = 32
     scale: float = 30.0  # message-sum normalizer (EncLayer/DecLayer scale)
     augment_eps: float = 0.0  # backbone noise; 0 at inference (run.py default)
+    ca_only: bool = False  # CA-only models (ca_model_weights/, --ca_only)
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +77,11 @@ def init_mpnn_params(key: jax.Array, cfg: MPNNConfig) -> dict:
     """Fresh parameters: xavier-uniform matrices, zero biases (the reference
     re-initializes every >1-dim parameter with xavier, utils :1032-1034)."""
     h = cfg.hidden_dim
-    edge_in = cfg.num_positional_embeddings + cfg.num_rbf * 25
+    # Vanilla: 25 atom-pair RBF maps; CA-only: 9 window RBF maps + 7
+    # orientation features (utils :733 vs :912).
+    edge_in = cfg.num_positional_embeddings + (
+        cfg.num_rbf * 9 + 7 if cfg.ca_only else cfg.num_rbf * 25
+    )
     pos_in = 2 * cfg.max_relative_feature + 2
     keys = iter(jax.random.split(key, 64))
 
@@ -117,7 +127,10 @@ def convert_mpnn_state_dict(state_dict: Mapping[str, Any]) -> dict:
     """Reference checkpoint['model_state_dict'] -> params pytree.
 
     Torch Linear weights [out, in] transpose to [in, out]; the W_s
-    embedding table stays [vocab, hidden] (row lookup)."""
+    embedding table stays [vocab, hidden] (row lookup). Works for both
+    model families; CA-only checkpoints' vestigial ``features.
+    node_embedding`` / ``W_v`` tensors (never used in any forward path,
+    utils :734 "#NOT USED", :1041 h_V starts from zeros) are skipped."""
     sd = {
         k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
         for k, v in state_dict.items()
@@ -345,16 +358,158 @@ def mpnn_features(
 
 
 # ---------------------------------------------------------------------------
+# CA-only featurization (CA_ProteinFeatures, utils :718-894)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(v, axis=-1, eps=1e-12):
+    """torch F.normalize semantics: v / max(||v||, eps)."""
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def _quaternions(r):
+    """Rotation matrices [..., 3, 3] -> unit quaternions [..., 4]
+    (utils :740-766, xyz-then-w layout with sign from off-diagonals)."""
+    rxx, ryy, rzz = r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]
+    magnitudes = 0.5 * jnp.sqrt(
+        jnp.abs(
+            1
+            + jnp.stack(
+                [rxx - ryy - rzz, -rxx + ryy - rzz, -rxx - ryy + rzz], -1
+            )
+        )
+    )
+    signs = jnp.sign(
+        jnp.stack(
+            [
+                r[..., 2, 1] - r[..., 1, 2],
+                r[..., 0, 2] - r[..., 2, 0],
+                r[..., 1, 0] - r[..., 0, 1],
+            ],
+            -1,
+        )
+    )
+    xyz = signs * magnitudes
+    w = jnp.sqrt(jax.nn.relu(1 + rxx + ryy + rzz))[..., None] / 2.0
+    return _normalize(jnp.concatenate([xyz, w], -1))
+
+
+def _orientations_coarse(ca, e_idx, eps=1e-6):
+    """Backbone-walk orientation features (utils :768-814): per-residue
+    local frames from the Ca chain (with 3.6-4.0 A CA-CA jump gating),
+    neighbor displacement unit vectors in the local frame, and the
+    relative-rotation quaternion to each neighbor's frame."""
+    dx = ca[:, 1:, :] - ca[:, :-1, :]
+    dx_norm = jnp.linalg.norm(dx, axis=-1)
+    dx_mask = (3.6 < dx_norm) & (dx_norm < 4.0)  # exclude CA-CA jumps
+    dx = dx * dx_mask[:, :, None]
+    u = _normalize(dx)
+    u_2, u_1, u_0 = u[:, :-2, :], u[:, 1:-1, :], u[:, 2:, :]
+    n_2 = _normalize(jnp.cross(u_2, u_1))
+    n_1 = _normalize(jnp.cross(u_1, u_0))
+
+    cos_a = jnp.clip(-(u_1 * u_0).sum(-1), -1 + eps, 1 - eps)
+    a = jnp.arccos(cos_a)
+    cos_d = jnp.clip((n_2 * n_1).sum(-1), -1 + eps, 1 - eps)
+    d = jnp.sign((u_2 * n_1).sum(-1)) * jnp.arccos(cos_d)
+    ad = jnp.stack(
+        [jnp.cos(a), jnp.sin(a) * jnp.cos(d), jnp.sin(a) * jnp.sin(d)], 2
+    )
+    ad = jnp.pad(ad, ((0, 0), (1, 2), (0, 0)))
+
+    o_1 = _normalize(u_2 - u_1)
+    o = jnp.stack([o_1, n_2, jnp.cross(o_1, n_2)], 2)  # [B, L-3, 3, 3]
+    o_flat = jnp.pad(o.reshape(o.shape[0], o.shape[1], 9),
+                     ((0, 0), (1, 2), (0, 0)))
+    o_neighbors = _gather_nodes(o_flat, e_idx)
+    x_neighbors = _gather_nodes(ca, e_idx)
+
+    o_mat = o_flat.reshape(o_flat.shape[0], o_flat.shape[1], 3, 3)
+    on_mat = o_neighbors.reshape(o_neighbors.shape[:3] + (3, 3))
+    dxn = x_neighbors - ca[:, :, None, :]
+    du = _normalize(
+        jnp.einsum("blij,blkj->blki", o_mat, dxn)
+    )
+    r_rel = jnp.einsum("blji,blkjm->blkim", o_mat, on_mat)
+    q = _quaternions(r_rel)
+    return ad, jnp.concatenate([du, q], -1)
+
+
+def mpnn_features_ca(
+    p: dict, ca: jax.Array, mask: jax.Array, residue_idx: jax.Array,
+    chain_labels: jax.Array, cfg: MPNNConfig,
+    key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """CA trace [B,L,3] -> edge embeddings + kNN indices (CA_ProteinFeatures
+    forward, utils :849-894): 9 RBF maps over the (prev, self, next) Ca
+    window + 7 orientation features + positional encodings."""
+    if cfg.augment_eps > 0 and key is not None:
+        ca = ca + cfg.augment_eps * jax.random.normal(key, ca.shape)
+
+    k = min(cfg.k_neighbors, ca.shape[1])
+    d_neighbors, e_idx = _knn(ca, mask, k)
+
+    zeros = jnp.zeros_like(ca)
+    ca_0 = zeros.at[:, 1:, :].set(ca[:, :-1, :])  # previous residue
+    ca_2 = zeros.at[:, :-1, :].set(ca[:, 1:, :])  # next residue
+    _, o_features = _orientations_coarse(ca, e_idx)
+
+    # 9 window pairs in the reference's exact order (:865-876); entry 0 is
+    # the masked kNN distances, the rest are raw +1e-6 distances.
+    window = jnp.stack([ca_0, ca, ca_2], axis=2)  # [B,L,3,3]
+    bsz, length = ca.shape[0], ca.shape[1]
+    nbr = jnp.take_along_axis(
+        window.reshape(bsz, length, 9),
+        e_idx.reshape(bsz, -1)[:, :, None], axis=1,
+    ).reshape(bsz, length, k, 3, 3)
+    diff = window[:, :, None, :, None, :] - nbr[:, :, :, None, :, :]
+    d_all = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-6)  # [B,L,K,3,3]
+    pair_idx = np.array(
+        [[1, 1], [0, 0], [2, 2], [0, 1], [0, 2], [1, 0], [1, 2], [2, 0],
+         [2, 1]]
+    )
+    d_pairs = d_all[..., pair_idx[:, 0], pair_idx[:, 1]]
+    d_pairs = d_pairs.at[..., 0].set(d_neighbors)
+    rbf_all = _rbf(d_pairs, cfg.num_rbf).reshape(
+        bsz, length, k, 9 * cfg.num_rbf
+    )
+
+    offset = residue_idx[:, :, None] - residue_idx[:, None, :]
+    offset = jnp.take_along_axis(offset, e_idx, axis=2)
+    same_chain = (
+        chain_labels[:, :, None] == chain_labels[:, None, :]
+    ).astype(jnp.int32)
+    e_chains = jnp.take_along_axis(same_chain, e_idx, axis=2)
+    mrel = cfg.max_relative_feature
+    d = jnp.clip(offset + mrel, 0, 2 * mrel) * e_chains + (1 - e_chains) * (
+        2 * mrel + 1
+    )
+    pos = _linear(p["pos_emb"], jax.nn.one_hot(d, 2 * mrel + 2, dtype=F32))
+
+    e = jnp.concatenate([pos, rbf_all, o_features], axis=-1)
+    e = _linear(p["edge_embedding"], e)
+    return _layer_norm(p["norm_edges"], e), e_idx
+
+
+# ---------------------------------------------------------------------------
 # Encoder / decoder passes
 # ---------------------------------------------------------------------------
 
 
 def mpnn_encode(params, x, mask, residue_idx, chain_labels, cfg,
                 key=None):
-    """Featurize + 3 encoder layers -> (h_V, h_E, e_idx)."""
-    e, e_idx = mpnn_features(
-        params["features"], x, mask, residue_idx, chain_labels, cfg, key
-    )
+    """Featurize + 3 encoder layers -> (h_V, h_E, e_idx). For CA-only
+    models ``x`` may be [B,L,3] or [B,L,1,3]."""
+    if cfg.ca_only:
+        ca = x[:, :, 0, :] if x.ndim == 4 else x
+        e, e_idx = mpnn_features_ca(
+            params["features"], ca, mask, residue_idx, chain_labels, cfg, key
+        )
+    else:
+        e, e_idx = mpnn_features(
+            params["features"], x, mask, residue_idx, chain_labels, cfg, key
+        )
     h_V = jnp.zeros(e.shape[:2] + (cfg.hidden_dim,), F32)
     h_E = _linear(params["W_e"], e)
     mask_attend = mask[:, :, None] * _gather_nodes(

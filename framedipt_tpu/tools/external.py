@@ -45,7 +45,9 @@ def run_protein_mpnn(
     num_seq_per_target: int = 8,
     sampling_temp: float = 0.1,
     seed: int = 38,
-    ca_only: bool = True,
+    # The reference invocation uses the vanilla (N/Ca/C/O) models — it
+    # never passes --ca_only (experiments/inference.py:584-599).
+    ca_only: bool = False,
     python: str = "python",
 ) -> pathlib.Path:
     """Invoke ProteinMPNN as a subprocess (reference flags:

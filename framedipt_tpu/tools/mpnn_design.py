@@ -62,8 +62,12 @@ def load_mpnn_params(
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
         k = int(ckpt.get("num_edges", 48))
         sd = ckpt["model_state_dict"]
+    # CA-only checkpoints are identified by their edge-embedding input
+    # width (9*16+7+16 = 167 vs the vanilla 25*16+16 = 416).
+    edge_w = np.asarray(sd["features.edge_embedding.weight"])
+    ca_only = edge_w.shape[1] != 416
     params = jax.tree.map(jnp.asarray, mpnn.convert_mpnn_state_dict(sd))
-    return params, mpnn.MPNNConfig(k_neighbors=k)
+    return params, mpnn.MPNNConfig(k_neighbors=k, ca_only=ca_only)
 
 
 def _chains_from_pdb(pdb_path: pathlib.Path) -> list[tuple[str, np.ndarray]]:

@@ -121,6 +121,76 @@ def main() -> None:
     )
     print(f"wrote {out} ({out.stat().st_size} bytes)")
 
+    record_ca_model(torch, ProteinMPNN, feats)
+
+
+def record_ca_model(torch, ProteinMPNN, feats) -> None:
+    """CA-only family (--ca_only, ca_model_weights/ — CA_ProteinFeatures,
+    utils :718-894): teacher-forced forward with recorded randn + a
+    near-greedy sample, on the same synthetic structure's CA trace."""
+    model = ProteinMPNN(
+        num_letters=21, node_features=128, edge_features=128, hidden_dim=128,
+        num_encoder_layers=3, num_decoder_layers=3, augment_eps=0.0,
+        k_neighbors=48, ca_only=True,
+    )
+    manifest = [
+        [name, list(t.shape)] for name, t in model.state_dict().items()
+    ]
+    sd = {
+        name: torch.from_numpy(synth_value(name, tuple(shape), seed=SEED + 1))
+        for name, shape in manifest
+    }
+    model.load_state_dict(sd)
+    model.eval()
+
+    t = {
+        k: torch.from_numpy(v.copy()).to(
+            torch.long if v.dtype in (np.int32, np.int64) else torch.float32
+        )
+        for k, v in feats.items()
+    }
+    x_ca = t["X"][:, :, 1, :]  # the Ca trace (tied_featurize ca_only X_out)
+    rng = np.random.default_rng(13)
+    bsz, length = feats["S"].shape
+    randn_fwd = rng.normal(size=(bsz, length)).astype(np.float32)
+    randn_smp = rng.normal(size=(bsz, length)).astype(np.float32)
+    with torch.no_grad():
+        lp = model(
+            x_ca, t["S"], t["mask"], t["chain_M"], t["residue_idx"],
+            t["chain_encoding_all"], torch.from_numpy(randn_fwd),
+        )
+        omit_aas = np.zeros(21, np.float32)
+        omit_aas[20] = 1.0
+        sample = model.sample(
+            x_ca, torch.from_numpy(randn_smp), t["S"], t["chain_M"],
+            t["chain_encoding_all"], t["residue_idx"], mask=t["mask"],
+            temperature=1e-4, omit_AAs_np=omit_aas,
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.ones_like(t["chain_M"]),
+            omit_AA_mask=None, pssm_coef=None, pssm_bias=None,
+            pssm_multi=0.0, pssm_log_odds_flag=False, pssm_log_odds_mask=None,
+            pssm_bias_flag=False,
+            bias_by_res=torch.zeros((bsz, length, 21)),
+        )
+    out = pathlib.Path(
+        REPO / "tests/parity/fixtures/recorded_mpnn_ca_parity.npz"
+    )
+    np.savez_compressed(
+        out,
+        manifest_names=np.array([n for n, _ in manifest]),
+        manifest_shapes=np.array(
+            [",".join(map(str, s)) for _, s in manifest]
+        ),
+        seed=np.int64(SEED + 1),
+        randn_fwd=randn_fwd,
+        randn_smp=randn_smp,
+        log_probs_rand=lp.numpy(),
+        sample_S=sample["S"].numpy(),
+        sample_order=sample["decoding_order"].numpy(),
+        **{f"in_{k}": v for k, v in feats.items()},
+    )
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
+
 
 if __name__ == "__main__":
     main()

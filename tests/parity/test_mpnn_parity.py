@@ -132,3 +132,69 @@ def test_sample_respects_masks_and_omit(recorded):
     assert np.all(probs[fixed] == 0)
     rowsum = probs[eff > 0].sum(-1)
     np.testing.assert_allclose(rowsum, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# CA-only model family (--ca_only / ca_model_weights: CA_ProteinFeatures,
+# utils :718-894) — same recorded-fixture methodology.
+# ---------------------------------------------------------------------------
+
+CA_FIXTURE = pathlib.Path(__file__).parent / "fixtures/recorded_mpnn_ca_parity.npz"
+
+
+@pytest.fixture(scope="module")
+def recorded_ca():
+    data = np.load(CA_FIXTURE, allow_pickle=False)
+    names = [str(n) for n in data["manifest_names"]]
+    shapes = [
+        tuple(int(x) for x in s.split(",")) for s in data["manifest_shapes"]
+    ]
+    sd = {
+        n: synth_value(n, shape, seed=int(data["seed"]))
+        for n, shape in zip(names, shapes)
+    }
+    params = jax.tree.map(jnp.asarray, mpnn.convert_mpnn_state_dict(sd))
+    cfg = mpnn.MPNNConfig(k_neighbors=48, ca_only=True)
+    feats = {
+        k.removeprefix("in_"): data[k] for k in data.files if k.startswith("in_")
+    }
+    return data, params, cfg, feats
+
+
+def test_ca_forward_log_probs(recorded_ca):
+    """CA-model tolerance is 0.03 absolute (vanilla: 2e-4): the quaternion
+    features at each residue's SELF-neighbor compute 0.5*sqrt(|1+Rxx-Ryy-
+    Rzz|) on R = O^T O = I +/- 1ulp, amplifying matmul rounding to ~3e-4
+    per feature (measured; inherent to the reference's own formula — two
+    torch backends differ the same way), which compounds through the 6
+    message-passing layers to ~2e-2 in log-probs. The argmax check below
+    and the exact near-greedy sample parity pin the functional behavior."""
+    data, params, cfg, f = recorded_ca
+    lp = mpnn.mpnn_log_probs(
+        params, f["X"], f["S"], f["mask"], f["chain_M"], f["residue_idx"],
+        f["chain_encoding_all"], cfg, randn=jnp.asarray(data["randn_fwd"]),
+    )
+    got = np.asarray(lp)
+    np.testing.assert_allclose(
+        got, data["log_probs_rand"], atol=3e-2, rtol=1e-2
+    )
+    valid = f["mask"][0] > 0
+    np.testing.assert_array_equal(
+        got[0, valid].argmax(-1), data["log_probs_rand"][0, valid].argmax(-1)
+    )
+
+
+def test_ca_near_greedy_sample_matches_torch(recorded_ca):
+    data, params, cfg, f = recorded_ca
+    out = jax.jit(
+        lambda key: mpnn.mpnn_sample(
+            params, key, jnp.asarray(f["X"]), jnp.asarray(data["randn_smp"]),
+            jnp.asarray(f["S"]), jnp.asarray(f["chain_M"]),
+            jnp.asarray(f["chain_encoding_all"]), jnp.asarray(f["residue_idx"]),
+            jnp.asarray(f["mask"]), cfg, temperature=1e-4,
+        )
+    )(jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(
+        np.asarray(out["decoding_order"]), data["sample_order"]
+    )
+    np.testing.assert_array_equal(np.asarray(out["S"]), data["sample_S"])

@@ -11,9 +11,15 @@ from framedipt_tpu.model.mpnn import featurize_chains
 
 
 def _backbone(rng: np.random.Generator, length: int) -> np.ndarray:
-    """Plausible N/Ca/C/O coords [L,4,3]: a jittered 3.8-A Ca walk with
-    the other atoms offset ~1.2 A from Ca."""
-    steps = rng.normal(0.0, 0.6, (length, 3)) + np.array([3.0, 1.5, 0.8])
+    """Plausible N/Ca/C/O coords [L,4,3]: a Ca walk with PHYSICAL step
+    lengths (3.65-3.95 A, inside the reference's 3.6-4.0 CA-CA gate,
+    protein_mpnn_utils.py:771) so the CA-model local frames are
+    non-degenerate — degenerate frames put the quaternion branch on a
+    knife edge (trace exactly -1) where torch/XLA 1-ulp rounding
+    differences flip relu(1+trace) between 0 and epsilon."""
+    dirs = rng.normal(0.0, 1.0, (length, 3)) + np.array([1.5, 0.4, 0.2])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    steps = dirs * rng.uniform(3.65, 3.95, (length, 1))
     ca = np.cumsum(steps, axis=0)
     offs = rng.normal(0.0, 0.4, (length, 4, 3)) + np.array(
         [[-1.2, 0.3, 0.0], [0.0, 0.0, 0.0], [1.3, -0.2, 0.1], [1.9, 0.9, -0.4]]
