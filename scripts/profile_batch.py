@@ -117,7 +117,10 @@ def _fwd_flops(num_res: int, batch: int = 1) -> float | None:
 def main() -> None:
     num_res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     num_t = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    batches = (1, 2, 5)
+    batches = (
+        tuple(int(b) for b in sys.argv[3].split(","))
+        if len(sys.argv) > 3 else (1, 2, 5)
+    )
 
     from bench import _build_sampler, _one_timed, _warm
 
