@@ -97,3 +97,41 @@ def test_load_params_npz_roundtrip(tmp_path):
 def test_load_params_missing_raises(tmp_path):
     with pytest.raises(ToolUnavailable):
         mpnn_design.load_mpnn_params(tmp_path / "nope.pt")
+
+
+def test_convert_pt_checkpoint_roundtrip(tmp_path):
+    """scripts/convert_mpnn_weights.py: .pt -> .npz -> load_mpnn_params,
+    and the direct .pt load path, yield identical params."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "scripts")
+    from convert_mpnn_weights import convert
+
+    from tests.parity.fixture_lib import synth_value
+
+    data = np.load("tests/parity/fixtures/recorded_mpnn_parity.npz")
+    names = [str(n) for n in data["manifest_names"]]
+    shapes = [
+        tuple(int(x) for x in s.split(",")) for s in data["manifest_shapes"]
+    ]
+    sd = {
+        n: torch.from_numpy(synth_value(n, s, seed=int(data["seed"])))
+        for n, s in zip(names, shapes)
+    }
+    pt = tmp_path / "w.pt"
+    torch.save({"model_state_dict": sd, "num_edges": 48}, pt)
+    convert(pt, tmp_path / "w.npz")
+
+    p_pt, cfg_pt = mpnn_design.load_mpnn_params(pt)
+    p_npz, cfg_npz = mpnn_design.load_mpnn_params(tmp_path / "w.npz")
+    assert cfg_pt == cfg_npz
+    assert not cfg_pt.ca_only and cfg_pt.k_neighbors == 48
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves(p_pt)
+    flat_b = jax.tree_util.tree_leaves(p_npz)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
