@@ -141,6 +141,51 @@ def _seq_str(s_row: np.ndarray, chain_lengths: list[int]) -> str:
     return "/".join(parts)
 
 
+def score_backbones(
+    pdb_dir: pathlib.Path | str,
+    output_dir: pathlib.Path | str,
+    num_scores: int = 8,
+    seed: int = 38,
+    params: dict | None = None,
+    cfg: mpnn.MPNNConfig | None = None,
+    weights_path: str | pathlib.Path | None = None,
+) -> pathlib.Path:
+    """The runner's --score_only mode (protein_mpnn_run.py:222-252): score
+    each PDB's native backbone-sequence pair under num_scores random
+    decoding orders, writing ``score_only/{name}.npz`` with ``score`` and
+    ``global_score`` arrays. All orders run as ONE batched pass."""
+    if params is None:
+        params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
+    assert cfg is not None
+    pdb_dir = pathlib.Path(pdb_dir)
+    out = pathlib.Path(output_dir) / "score_only"
+    out.mkdir(parents=True, exist_ok=True)
+    pdbs = sorted(pdb_dir.glob("*.pdb"))
+    if not pdbs:
+        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
+    key = jax.random.PRNGKey(seed)
+    for i, pdb_path in enumerate(pdbs):
+        feats = mpnn.featurize_chains(_chains_from_pdb(pdb_path))
+        rep = lambda a: jnp.repeat(jnp.asarray(a), num_scores, axis=0)  # noqa: E731
+        x, s = rep(feats["X"]), rep(feats["S"])
+        mask, chain_m = rep(feats["mask"]), rep(feats["chain_M"])
+        res_idx, enc = rep(feats["residue_idx"]), rep(feats["chain_encoding_all"])
+        randn = jax.random.normal(jax.random.fold_in(key, i), s.shape)
+        lp = mpnn.mpnn_log_probs(
+            params, x, s, mask, chain_m, res_idx, enc, cfg, randn=randn
+        )
+        score = np.asarray(mpnn.mpnn_scores(s, lp, mask * chain_m))
+        global_score = np.asarray(mpnn.mpnn_scores(s, lp, mask))
+        np.savez(
+            out / f"{pdb_path.stem}.npz", score=score, global_score=global_score
+        )
+        logger.info(
+            f"scored {pdb_path.stem}: mean {score.mean():.4f} "
+            f"global {global_score.mean():.4f} (n={num_scores})"
+        )
+    return out
+
+
 def design_sequences(
     pdb_dir: pathlib.Path | str,
     output_dir: pathlib.Path | str,

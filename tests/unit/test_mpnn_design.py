@@ -135,3 +135,19 @@ def test_convert_pt_checkpoint_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_score_backbones_npz_contract(tmp_path, params):
+    """--score_only mode (protein_mpnn_run.py:222-252): per-PDB npz with
+    score/global_score arrays; masked-region score >= global when the
+    designed region is the whole protein is NOT required, but both must be
+    finite and the right shape."""
+    (tmp_path / "sample_0.pdb").write_text(_two_chain_pdb())
+    out = mpnn_design.score_backbones(
+        tmp_path, tmp_path / "sc", num_scores=4, params=params, cfg=CFG
+    )
+    data = np.load(out / "sample_0.npz")
+    assert data["score"].shape == (4,)
+    assert data["global_score"].shape == (4,)
+    assert np.isfinite(data["score"]).all()
+    assert np.isfinite(data["global_score"]).all()
