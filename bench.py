@@ -144,11 +144,14 @@ def _build_train_runner(batch: int = 4, num_res: int = 256,
                         compute_dtype: str = "bfloat16",
                         use_pallas: bool = False,
                         use_pallas_embedder: bool = False,
-                        emb_bwd: str = "xla"):
+                        emb_bwd: str = "xla",
+                        lo: int = 8, hi: int = 32):
     """Build the two-length scan runners for one train variant (see
     bench_train_step). Returns (time_once, batch) where time_once(i)
     runs the lo and hi scans once each and returns seconds-per-step via
-    the slope (cancels the ~30 ms dispatch exactly)."""
+    the slope (cancels the ~30 ms dispatch exactly). A wider (lo, hi)
+    span divides the slope's run-to-run jitter by (hi-lo) — used by the
+    paired A/B, whose ~2-3% effect needs tighter per-pair noise."""
     from __graft_entry__ import _make_feats, _make_model
     from framedipt_tpu.model import ScoreNetwork
     from framedipt_tpu.train.loop import (
@@ -207,7 +210,6 @@ def _build_train_runner(batch: int = 4, num_res: int = 256,
         return run
 
     base = time.time_ns() % (2**31 - 1)
-    lo, hi = 8, 32
     run_lo, run_hi = steps(lo), steps(hi)
 
     def warm() -> None:
@@ -266,18 +268,23 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
     return _train_stats([time_once(i) for i in range(TIMED_CALLS)], batch)
 
 
-def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4) -> dict:
+def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4,
+                     lo: int = 8, hi: int = 64,
+                     n_pairs: int = 12) -> dict:
     """Interleaved same-process A/B of two train variants (A,B,A,B,...),
     reporting each variant's stats PLUS the paired per-iteration delta —
     the way close calls are actually adjudicated (VERDICT r4 weak #1:
     independent medians' spreads dwarf a ~2% effect; paired deltas cancel
-    the slow drift both variants share)."""
-    warm_a, time_a = _build_train_runner(batch=batch, **spec_a)
-    warm_b, time_b = _build_train_runner(batch=batch, **spec_b)
+    the slow drift both variants share). Uses a wider slope span (8->64
+    steps) and more pairs than the headline variants: at the default
+    span the per-pair slope noise (~0.5 ms/step) swamps the ~0.7 ms/step
+    effect being adjudicated."""
+    warm_a, time_a = _build_train_runner(batch=batch, lo=lo, hi=hi, **spec_a)
+    warm_b, time_b = _build_train_runner(batch=batch, lo=lo, hi=hi, **spec_b)
     warm_a()
     warm_b()
     per_a, per_b, deltas = [], [], []
-    for i in range(TIMED_CALLS):
+    for i in range(n_pairs):
         ta = time_a(i)
         tb = time_b(i)
         per_a.append(ta)

@@ -184,6 +184,48 @@ def convert_mpnn_state_dict(state_dict: Mapping[str, Any]) -> dict:
     }
 
 
+def mpnn_state_dict_from_params(params: dict) -> dict[str, np.ndarray]:
+    """Exact inverse of :func:`convert_mpnn_state_dict`: params pytree ->
+    flat reference-named state dict (Linear weights back to torch's
+    [out, in]). Lets checkpoints trained here save as the same ``.npz``
+    the loaders consume (`tools/mpnn_design.load_mpnn_params`), so a
+    trained model plugs straight into design/score/serve."""
+
+    def lin(dst, p, out):
+        out[f"{dst}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        if "b" in p:
+            out[f"{dst}.bias"] = np.asarray(p["b"])
+
+    def ln(dst, p, out):
+        out[f"{dst}.weight"] = np.asarray(p["scale"])
+        out[f"{dst}.bias"] = np.asarray(p["bias"])
+
+    sd: dict[str, np.ndarray] = {}
+    lin("features.embeddings.linear", params["features"]["pos_emb"], sd)
+    lin("features.edge_embedding", params["features"]["edge_embedding"], sd)
+    ln("features.norm_edges", params["features"]["norm_edges"], sd)
+    lin("W_e", params["W_e"], sd)
+    sd["W_s.weight"] = np.asarray(params["W_s"])
+    for i, p in enumerate(params["encoder"]):
+        s = f"encoder_layers.{i}"
+        for name in ("W1", "W2", "W3", "W11", "W12", "W13"):
+            lin(f"{s}.{name}", p[name], sd)
+        for name in ("norm1", "norm2", "norm3"):
+            ln(f"{s}.{name}", p[name], sd)
+        lin(f"{s}.dense.W_in", p["ffn_in"], sd)
+        lin(f"{s}.dense.W_out", p["ffn_out"], sd)
+    for i, p in enumerate(params["decoder"]):
+        s = f"decoder_layers.{i}"
+        for name in ("W1", "W2", "W3"):
+            lin(f"{s}.{name}", p[name], sd)
+        for name in ("norm1", "norm2"):
+            ln(f"{s}.{name}", p[name], sd)
+        lin(f"{s}.dense.W_in", p["ffn_in"], sd)
+        lin(f"{s}.dense.W_out", p["ffn_out"], sd)
+    lin("W_out", params["W_out"], sd)
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Primitive layers (torch defaults: exact-erf GELU, LayerNorm eps 1e-5)
 # ---------------------------------------------------------------------------

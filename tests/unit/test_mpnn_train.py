@@ -137,3 +137,22 @@ def test_train_cfg_applies_backbone_noise():
     c = lp(CFG, jax.random.PRNGKey(1))
     d = lp(CFG, jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_state_dict_export_roundtrip():
+    """mpnn_state_dict_from_params is the exact inverse of
+    convert_mpnn_state_dict: params -> reference-named flat dict ->
+    params, bit-identical — so .npz checkpoints trained here load through
+    the same path as converted reference weights."""
+    params = mpnn.init_mpnn_params(jax.random.PRNGKey(4), CFG)
+    sd = mpnn.mpnn_state_dict_from_params(params)
+    back = mpnn.convert_mpnn_state_dict(sd)
+    flat_a, tree_a = jax.tree_util.tree_flatten(params)
+    flat_b, tree_b = jax.tree_util.tree_flatten(back)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Reference naming, spot-checked (so the torch runner could load it).
+    assert "encoder_layers.0.W1.weight" in sd
+    assert "features.norm_edges.bias" in sd
+    assert sd["W_out.weight"].shape == (21, CFG.hidden_dim)
