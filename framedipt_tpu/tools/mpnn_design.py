@@ -88,10 +88,31 @@ def _chains_from_pdb(pdb_path: pathlib.Path) -> list[tuple[str, np.ndarray]]:
     return chains
 
 
+def aa_omit_vector(omit_aas: str) -> np.ndarray:
+    """``--omit_AAs`` string -> one-hot omit vector over the 21-letter
+    alphabet (protein_mpnn_run.py:30-34)."""
+    vec = np.zeros((len(mpnn.MPNN_ALPHABET),), np.float32)
+    for a in omit_aas:
+        vec[mpnn.MPNN_ALPHABET.index(a)] = 1.0
+    return vec
+
+
+def aa_bias_vector(bias: dict[str, float] | None) -> np.ndarray:
+    """``--bias_AA_jsonl`` dict {letter: logit-bias} -> dense vector
+    (protein_mpnn_run.py:70-76)."""
+    vec = np.zeros((len(mpnn.MPNN_ALPHABET),), np.float32)
+    for a, v in (bias or {}).items():
+        vec[mpnn.MPNN_ALPHABET.index(a)] = float(v)
+    return vec
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "num_seqs", "temperature")
 )
-def _design_batch(params, key, feats, cfg, num_seqs, temperature):
+def _design_batch(
+    params, key, feats, cfg, num_seqs, temperature,
+    omit_aas=None, bias_aas=None,
+):
     """Sample num_seqs sequences as one batch and score them with the
     teacher-forced pass at each sample's own decoding order."""
     rep = lambda a: jnp.repeat(a, num_seqs, axis=0)  # noqa: E731
@@ -103,7 +124,7 @@ def _design_batch(params, key, feats, cfg, num_seqs, temperature):
     randn = jax.random.normal(k_randn, s.shape)
     out = mpnn.mpnn_sample(
         params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
-        temperature=temperature,
+        temperature=temperature, omit_aas=omit_aas, bias_aas=bias_aas,
     )
     lp = mpnn.mpnn_log_probs(
         params, x, out["S"], mask, chain_m, res_idx, enc, cfg,
@@ -195,6 +216,8 @@ def design_sequences(
     params: dict | None = None,
     cfg: mpnn.MPNNConfig | None = None,
     weights_path: str | pathlib.Path | None = None,
+    omit_aas: str = "X",
+    bias_aa: dict[str, float] | None = None,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -209,6 +232,8 @@ def design_sequences(
     if not pdbs:
         raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
     key = jax.random.PRNGKey(seed)
+    omit_vec = jnp.asarray(aa_omit_vector(omit_aas))
+    bias_vec = jnp.asarray(aa_bias_vector(bias_aa))
     for i, pdb_path in enumerate(pdbs):
         chains = _chains_from_pdb(pdb_path)
         feats = mpnn.featurize_chains(chains)
@@ -216,6 +241,7 @@ def design_sequences(
             params, jax.random.fold_in(key, i),
             {k: jnp.asarray(v) for k, v in feats.items()},
             cfg, num_seq_per_target, float(sampling_temp),
+            omit_aas=omit_vec, bias_aas=bias_vec,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         lens = [len(seq) for seq, _ in chains]
@@ -244,3 +270,70 @@ def design_sequences(
             f"(L={sum(lens)}, chains={letters})"
         )
     return seqs_dir
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference runner's surface
+    (protein_mpnn_run.py:383-423) for the flags the inference pipeline and
+    eval protocols actually use; design (default) or --score_only."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        description="TPU-native ProteinMPNN sequence design"
+    )
+    p.add_argument("--pdb_dir", type=str, default="",
+                   help="Folder of .pdb backbones to design")
+    p.add_argument("--pdb_path", type=str, default="",
+                   help="Single PDB to design (alternative to --pdb_dir)")
+    p.add_argument("--out_folder", type=str, required=True,
+                   help="Output folder (seqs/ or score_only/ created inside)")
+    p.add_argument("--weights_path", type=str,
+                   default="weights/mpnn/v_48_020.pt",
+                   help=".pt or converted .npz MPNN checkpoint")
+    p.add_argument("--num_seq_per_target", type=int, default=8)
+    p.add_argument("--sampling_temp", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=38)
+    p.add_argument("--score_only", action="store_true",
+                   help="Score native backbone-sequence pairs instead of "
+                        "designing (writes score_only/{name}.npz)")
+    p.add_argument("--omit_AAs", type=str, default="X",
+                   help="Letters never sampled, e.g. 'XC'")
+    p.add_argument("--bias_AA_jsonl", type=str, default="",
+                   help="JSON file {letter: logit bias}, e.g. '{\"A\": -1.1}'")
+    args = p.parse_args(argv)
+
+    if bool(args.pdb_dir) == bool(args.pdb_path):
+        p.error("give exactly one of --pdb_dir / --pdb_path")
+    if args.pdb_path:
+        # Single-PDB mode: stage it alone so the directory walk sees one file.
+        import shutil
+        import tempfile
+        stage = pathlib.Path(tempfile.mkdtemp(prefix="mpnn_single_"))
+        shutil.copy(args.pdb_path, stage)
+        pdb_dir = stage
+    else:
+        pdb_dir = pathlib.Path(args.pdb_dir)
+
+    params, cfg = load_mpnn_params(args.weights_path)
+    if args.score_only:
+        out = score_backbones(
+            pdb_dir, args.out_folder, num_scores=args.num_seq_per_target,
+            seed=args.seed, params=params, cfg=cfg,
+        )
+    else:
+        bias = (
+            json.loads(pathlib.Path(args.bias_AA_jsonl).read_text())
+            if args.bias_AA_jsonl else None
+        )
+        out = design_sequences(
+            pdb_dir, args.out_folder,
+            num_seq_per_target=args.num_seq_per_target,
+            sampling_temp=args.sampling_temp, seed=args.seed,
+            params=params, cfg=cfg, omit_aas=args.omit_AAs, bias_aa=bias,
+        )
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,64 @@ def test_convert_pt_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_omit_and_bias_plumbing(tmp_path, params):
+    """--omit_AAs beyond the default and a large +bias must shape the
+    samples: omit 'C' -> no cysteines; bias A by +25 -> nearly all A."""
+    (tmp_path / "sample_0.pdb").write_text(_two_chain_pdb())
+    seqs_dir = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=4, params=params,
+        cfg=CFG, omit_aas="XC", bias_aa={"A": 25.0},
+    )
+    fa = (seqs_dir / "sample_0.fa").read_text().splitlines()
+    designed = "".join(fa[3::2]).replace("/", "")
+    assert "C" not in designed and "X" not in designed
+    assert designed.count("A") / len(designed) > 0.95
+
+
+def _write_npz_weights(path):
+    from tests.parity.fixture_lib import synth_value
+
+    data = np.load("tests/parity/fixtures/recorded_mpnn_parity.npz")
+    names = [str(n) for n in data["manifest_names"]]
+    shapes = [
+        tuple(int(x) for x in s.split(",")) for s in data["manifest_shapes"]
+    ]
+    flat = {n: synth_value(n, s, seed=int(data["seed"]))
+            for n, s in zip(names, shapes)}
+    np.savez(path, num_edges=np.int64(48), **flat)
+
+
+def test_cli_design_and_score(tmp_path):
+    """main() mirrors protein_mpnn_run.py's surface: --pdb_dir design run
+    writes seqs/, --pdb_path --score_only writes score_only/."""
+    _write_npz_weights(tmp_path / "w.npz")
+    pdb_dir = tmp_path / "in"
+    pdb_dir.mkdir()
+    (pdb_dir / "case.pdb").write_text(_two_chain_pdb())
+    mpnn_design.main([
+        "--pdb_dir", str(pdb_dir), "--out_folder", str(tmp_path / "o1"),
+        "--weights_path", str(tmp_path / "w.npz"),
+        "--num_seq_per_target", "2", "--omit_AAs", "XW",
+    ])
+    fa = (tmp_path / "o1" / "seqs" / "case.fa").read_text().splitlines()
+    assert len(fa) == 2 * (1 + 2)
+    assert "W" not in "".join(fa[3::2])
+
+    mpnn_design.main([
+        "--pdb_path", str(pdb_dir / "case.pdb"),
+        "--out_folder", str(tmp_path / "o2"),
+        "--weights_path", str(tmp_path / "w.npz"),
+        "--num_seq_per_target", "3", "--score_only",
+    ])
+    data = np.load(tmp_path / "o2" / "score_only" / "case.npz")
+    assert data["score"].shape == (3,)
+
+
+def test_cli_requires_exactly_one_input(tmp_path):
+    with pytest.raises(SystemExit):
+        mpnn_design.main(["--out_folder", str(tmp_path)])
+
+
 def test_score_backbones_npz_contract(tmp_path, params):
     """--score_only mode (protein_mpnn_run.py:222-252): per-PDB npz with
     score/global_score arrays; masked-region score >= global when the
