@@ -632,6 +632,60 @@ def mpnn_scores(s, log_probs, mask):
     return jnp.sum(nll * mask, axis=-1) / jnp.sum(mask, axis=-1)
 
 
+def mpnn_conditional_log_probs(
+    params, x, s, mask, chain_m, residue_idx, chain_labels, cfg,
+    randn, backbone_only: bool = False, key=None, chunk: int = 8,
+):
+    """log p(s_i | s_{j!=i}, backbone) per designed position i — or, with
+    ``backbone_only``, log p(s_i | backbone) via a decode-i-first order
+    (ProteinMPNN.conditional_probs, utils :1272-1329).
+
+    The reference loops positions on host, rerunning the decoder stack per
+    position. TPU-native form: encode ONCE, then one chunked ``lax.map``
+    over positions — each chunk vmaps the 3 decoder layers under that
+    position's order masks and reads out only its own row. One XLA
+    program, no host round-trips; ``chunk`` bounds the transient
+    [chunk, B, L, K, 3H] h_ESV memory.
+
+    Matches the reference's output contract: rows where chain_M*mask == 0
+    are zeros (only designed positions are filled, :1299-1328), and the
+    SAME ``randn`` orders the non-target positions for every i (:256-258
+    of protein_mpnn_run.py draws it once per batch).
+    """
+    h_V_enc, h_E, e_idx = mpnn_encode(
+        params, x, mask, residue_idx, chain_labels, cfg, key
+    )
+    h_S = params["W_s"][s]
+    h_ES = _cat_neighbors_nodes(h_S, h_E, e_idx)
+    h_EX = _cat_neighbors_nodes(jnp.zeros_like(h_S), h_E, e_idx)
+    h_EXV = _cat_neighbors_nodes(h_V_enc, h_EX, e_idx)
+    chain_m = chain_m * mask
+    length = x.shape[1]
+
+    def one_pos(idx):
+        if backbone_only:
+            # Target decodes FIRST: it sees only encoder (backbone) context.
+            order_mask = jnp.ones((length,), F32).at[idx].set(0.0)
+        else:
+            # Target decodes LAST: it conditions on every other position.
+            order_mask = jnp.zeros((length,), F32).at[idx].set(1.0)
+        decoding_order = jnp.argsort(
+            (order_mask[None, :] + 0.0001) * jnp.abs(randn), axis=-1
+        )
+        mask_bw, mask_fw = _autoregressive_masks(decoding_order, e_idx, mask)
+        h_EXV_fw = mask_fw * h_EXV
+        h_V = h_V_enc
+        for p in params["decoder"]:
+            h_ESV = mask_bw * _cat_neighbors_nodes(h_V, h_ES, e_idx) + h_EXV_fw
+            h_V = _dec_layer(p, h_V, h_ESV, mask, cfg.scale)
+        logits = _linear(params["W_out"], h_V[:, idx])
+        return jax.nn.log_softmax(logits, axis=-1)  # [B, 21]
+
+    log_p = jax.lax.map(one_pos, jnp.arange(length), batch_size=chunk)
+    log_p = jnp.moveaxis(log_p, 0, 1)  # [B, L, 21]
+    return jnp.where(chain_m[..., None] > 0, log_p, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Autoregressive sampling (ProteinMPNN.sample, utils :1083-1168)
 # ---------------------------------------------------------------------------

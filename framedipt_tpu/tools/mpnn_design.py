@@ -15,6 +15,12 @@ Output contract (protein_mpnn_run.py:349-368): per input PDB a
 (score/global_score on the native) followed by one record per sample
 (``>T=..., sample=n, score=..., global_score=..., seq_recovery=...``);
 multi-chain sequences join with '/'.
+
+Also implements the runner's side modes: ``score_backbones``
+(--score_only), ``probs_backbones`` (--conditional_probs_only
+[+--conditional_probs_only_backbone] / --unconditional_probs_only),
+--save_score / --save_probs sidecars, and a ``main()`` CLI mirroring
+protein_mpnn_run.py:383-423 for the flags the pipeline uses.
 """
 from __future__ import annotations
 
@@ -149,6 +155,8 @@ def _design_batch(
         "S": out["S"], "score": scores, "global_score": global_scores,
         "recovery": recovery, "native_score": native_score,
         "native_global_score": native_global,
+        "probs": out["probs"], "log_probs": lp,
+        "mask_for_loss": mask_for_loss,
     }
 
 
@@ -218,10 +226,18 @@ def design_sequences(
     weights_path: str | pathlib.Path | None = None,
     omit_aas: str = "X",
     bias_aa: dict[str, float] | None = None,
+    save_score: bool = False,
+    save_probs: bool = False,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
-    — experiments/inference.py:584-599). Returns the ``seqs`` directory."""
+    — experiments/inference.py:584-599). Returns the ``seqs`` directory.
+
+    ``save_score`` / ``save_probs`` mirror the runner's flags
+    (protein_mpnn_run.py:369-374): per-PDB ``scores/{name}.npz``
+    (score/global_score over all samples) and ``probs/{name}.npz``
+    (per-step sampling probs, teacher-forced log_probs, S, mask,
+    chain_order)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
@@ -265,11 +281,91 @@ def design_sequences(
             )
             lines.append(_seq_str(out["S"][j], lens))
         (seqs_dir / f"{name}.fa").write_text("\n".join(lines) + "\n")
+        if save_score:
+            sc_dir = pathlib.Path(output_dir) / "scores"
+            sc_dir.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                sc_dir / f"{name}.npz",
+                score=out["score"].astype(np.float32),
+                global_score=out["global_score"].astype(np.float32),
+            )
+        if save_probs:
+            pr_dir = pathlib.Path(output_dir) / "probs"
+            pr_dir.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                pr_dir / f"{name}.npz",
+                probs=out["probs"].astype(np.float32),
+                log_probs=out["log_probs"].astype(np.float32),
+                S=out["S"].astype(np.int64),
+                mask=out["mask_for_loss"].astype(np.float32),
+                chain_order=np.array(letters),
+            )
         logger.info(
             f"designed {num_seq_per_target} sequences for {name} "
             f"(L={sum(lens)}, chains={letters})"
         )
     return seqs_dir
+
+
+def probs_backbones(
+    pdb_dir: pathlib.Path | str,
+    output_dir: pathlib.Path | str,
+    conditional: bool = False,
+    backbone_only: bool = False,
+    num_repeats: int = 1,
+    seed: int = 38,
+    params: dict | None = None,
+    cfg: mpnn.MPNNConfig | None = None,
+    weights_path: str | pathlib.Path | None = None,
+) -> pathlib.Path:
+    """The runner's --unconditional_probs_only / --conditional_probs_only
+    modes (protein_mpnn_run.py:241-263): per PDB an npz with ``log_p``
+    ([R,L,21] — conditional repeats differ by decoding-order randn;
+    unconditional is deterministic so R=1), ``S``, ``mask`` and
+    ``design_mask``. ``backbone_only`` maps to
+    --conditional_probs_only_backbone."""
+    if params is None:
+        params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
+    assert cfg is not None
+    sub = "conditional_probs_only" if conditional else "unconditional_probs_only"
+    out_dir = pathlib.Path(output_dir) / sub
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pdb_dir = pathlib.Path(pdb_dir)
+    pdbs = sorted(pdb_dir.glob("*.pdb"))
+    if not pdbs:
+        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
+    key = jax.random.PRNGKey(seed)
+    for i, pdb_path in enumerate(pdbs):
+        feats = mpnn.featurize_chains(_chains_from_pdb(pdb_path))
+        f = {k: jnp.asarray(v) for k, v in feats.items()}
+        design_mask = np.asarray(feats["chain_M"] * feats["mask"])[0]
+        if conditional:
+            reps = []
+            for r in range(num_repeats):
+                randn = jax.random.normal(
+                    jax.random.fold_in(jax.random.fold_in(key, i), r),
+                    f["S"].shape,
+                )
+                reps.append(mpnn.mpnn_conditional_log_probs(
+                    params, f["X"], f["S"], f["mask"], f["chain_M"],
+                    f["residue_idx"], f["chain_encoding_all"], cfg,
+                    randn=randn, backbone_only=backbone_only,
+                ))
+            log_p = np.concatenate([np.asarray(x) for x in reps], axis=0)
+        else:
+            log_p = np.asarray(mpnn.mpnn_unconditional_log_probs(
+                params, f["X"], f["mask"], f["residue_idx"],
+                f["chain_encoding_all"], cfg,
+            ))
+        np.savez(
+            out_dir / f"{pdb_path.stem}.npz",
+            log_p=log_p.astype(np.float32),
+            S=np.asarray(feats["S"][0]).astype(np.int64),
+            mask=np.asarray(feats["mask"][0]).astype(np.float32),
+            design_mask=design_mask.astype(np.float32),
+        )
+        logger.info(f"{sub}: wrote {pdb_path.stem}.npz log_p{log_p.shape}")
+    return out_dir
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -297,6 +393,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--score_only", action="store_true",
                    help="Score native backbone-sequence pairs instead of "
                         "designing (writes score_only/{name}.npz)")
+    p.add_argument("--conditional_probs_only", action="store_true",
+                   help="Write log p(s_i | s_rest, backbone) npz instead of "
+                        "designing (conditional_probs_only/{name}.npz)")
+    p.add_argument("--conditional_probs_only_backbone", action="store_true",
+                   help="With --conditional_probs_only: "
+                        "log p(s_i | backbone-order-first) instead")
+    p.add_argument("--unconditional_probs_only", action="store_true",
+                   help="Write one-pass log p(s_i | backbone) npz "
+                        "(unconditional_probs_only/{name}.npz)")
+    p.add_argument("--save_score", action="store_true",
+                   help="Also write scores/{name}.npz in design mode")
+    p.add_argument("--save_probs", action="store_true",
+                   help="Also write probs/{name}.npz in design mode")
     p.add_argument("--omit_AAs", type=str, default="X",
                    help="Letters never sampled, e.g. 'XC'")
     p.add_argument("--bias_AA_jsonl", type=str, default="",
@@ -321,6 +430,14 @@ def main(argv: list[str] | None = None) -> None:
             pdb_dir, args.out_folder, num_scores=args.num_seq_per_target,
             seed=args.seed, params=params, cfg=cfg,
         )
+    elif args.conditional_probs_only or args.unconditional_probs_only:
+        out = probs_backbones(
+            pdb_dir, args.out_folder,
+            conditional=args.conditional_probs_only,
+            backbone_only=args.conditional_probs_only_backbone,
+            num_repeats=args.num_seq_per_target, seed=args.seed,
+            params=params, cfg=cfg,
+        )
     else:
         bias = (
             json.loads(pathlib.Path(args.bias_AA_jsonl).read_text())
@@ -331,6 +448,7 @@ def main(argv: list[str] | None = None) -> None:
             num_seq_per_target=args.num_seq_per_target,
             sampling_temp=args.sampling_temp, seed=args.seed,
             params=params, cfg=cfg, omit_aas=args.omit_AAs, bias_aa=bias,
+            save_score=args.save_score, save_probs=args.save_probs,
         )
     print(out)
 

@@ -86,6 +86,18 @@ def main() -> None:
         lp_uncond = model.unconditional_probs(
             t["X"], t["mask"], t["residue_idx"], t["chain_encoding_all"]
         )
+        # conditional_probs (utils :1272-1329), both order conventions.
+        randn_cond = rng.normal(size=(bsz, length)).astype(np.float32)
+        lp_cond = model.conditional_probs(
+            t["X"], t["S"], t["mask"], t["chain_M"], t["residue_idx"],
+            t["chain_encoding_all"], torch.from_numpy(randn_cond),
+            backbone_only=False,
+        )
+        lp_cond_bb = model.conditional_probs(
+            t["X"], t["S"], t["mask"], t["chain_M"], t["residue_idx"],
+            t["chain_encoding_all"], torch.from_numpy(randn_cond),
+            backbone_only=True,
+        )
         omit_aas = np.zeros(21, np.float32)
         omit_aas[20] = 1.0  # omit X (protein_mpnn_run default omit_AAs='X')
         sample = model.sample(
@@ -115,6 +127,9 @@ def main() -> None:
         log_probs_fixed=lp_fixed.numpy(),
         scores=scores.numpy(),
         log_probs_uncond=lp_uncond.numpy(),
+        randn_cond=randn_cond,
+        log_probs_cond=lp_cond.numpy(),
+        log_probs_cond_bb=lp_cond_bb.numpy(),
         sample_S=sample["S"].numpy(),
         sample_order=sample["decoding_order"].numpy(),
         **{f"in_{k}": v for k, v in feats.items()},

@@ -90,6 +90,27 @@ def test_unconditional_log_probs(recorded):
     )
 
 
+@pytest.mark.parametrize("backbone_only", [False, True])
+def test_conditional_log_probs(recorded, backbone_only):
+    """conditional_probs parity (utils :1272-1329): the chunked-lax.map
+    TPU form must match the reference's per-position host loop, in both
+    order conventions (target-last / target-first)."""
+    data, params, cfg, f = recorded
+    key = "log_probs_cond_bb" if backbone_only else "log_probs_cond"
+    lp = mpnn.mpnn_conditional_log_probs(
+        params, f["X"], f["S"], f["mask"], f["chain_M"], f["residue_idx"],
+        f["chain_encoding_all"], cfg, randn=jnp.asarray(data["randn_cond"]),
+        backbone_only=backbone_only, chunk=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp), data[key], atol=2e-4, rtol=2e-4
+    )
+    # Non-designed rows are exact zeros (the reference only fills looped
+    # positions, :1299).
+    undesigned = (f["chain_M"] * f["mask"]) == 0
+    assert np.all(np.asarray(lp)[undesigned] == 0.0)
+
+
 def test_near_greedy_sample_matches_torch(recorded):
     """At temperature 1e-4 the per-step distribution is one-hot to fp
     precision, so torch.multinomial and jax.random.categorical both reduce

@@ -195,6 +195,49 @@ def test_cli_requires_exactly_one_input(tmp_path):
         mpnn_design.main(["--out_folder", str(tmp_path)])
 
 
+def test_probs_backbones_contracts(tmp_path, params):
+    """--unconditional_probs_only / --conditional_probs_only npz contract
+    (protein_mpnn_run.py:241-263): log_p [R,L,21], S/mask/design_mask [L];
+    conditional zero-fills non-designed rows, unconditional does not."""
+    (tmp_path / "sample_0.pdb").write_text(_two_chain_pdb())
+    out_u = mpnn_design.probs_backbones(
+        tmp_path, tmp_path / "sc", conditional=False, params=params, cfg=CFG
+    )
+    d = np.load(out_u / "sample_0.npz")
+    assert d["log_p"].shape == (1, 24, 21)
+    assert d["S"].shape == (24,) and d["design_mask"].shape == (24,)
+    # rows are log-softmax: logsumexp == 0 for valid positions
+    lse = np.log(np.exp(d["log_p"][0]).sum(-1))
+    assert np.allclose(lse[d["mask"] > 0], 0.0, atol=1e-4)
+
+    out_c = mpnn_design.probs_backbones(
+        tmp_path, tmp_path / "sc", conditional=True, num_repeats=2,
+        params=params, cfg=CFG,
+    )
+    d = np.load(out_c / "sample_0.npz")
+    assert d["log_p"].shape == (2, 24, 21)
+    assert np.all(d["log_p"][:, d["design_mask"] == 0, :] == 0.0)
+    # different decoding-order randn per repeat -> different rows
+    assert not np.array_equal(d["log_p"][0], d["log_p"][1])
+
+
+def test_design_save_score_and_probs(tmp_path, params):
+    """--save_score / --save_probs sidecar npz files
+    (protein_mpnn_run.py:369-374)."""
+    (tmp_path / "sample_0.pdb").write_text(_two_chain_pdb())
+    mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=3, params=params,
+        cfg=CFG, save_score=True, save_probs=True,
+    )
+    sc = np.load(tmp_path / "sc" / "scores" / "sample_0.npz")
+    assert sc["score"].shape == (3,) and np.isfinite(sc["score"]).all()
+    pr = np.load(tmp_path / "sc" / "probs" / "sample_0.npz")
+    assert pr["probs"].shape == (3, 24, 21)
+    assert pr["log_probs"].shape == (3, 24, 21)
+    assert pr["S"].shape == (3, 24)
+    assert list(pr["chain_order"]) == ["A", "B"]
+
+
 def test_score_backbones_npz_contract(tmp_path, params):
     """--score_only mode (protein_mpnn_run.py:222-252): per-PDB npz with
     score/global_score arrays; masked-region score >= global when the
