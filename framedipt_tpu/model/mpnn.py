@@ -24,12 +24,11 @@ Both released model families are supported: the vanilla N/Ca/C/O models
 (``ProteinFeatures``) and the CA-only models (``CA_ProteinFeatures``,
 utils :718-894 — 9 Ca-window RBFs + local-frame orientation/quaternion
 features), selected by ``MPNNConfig.ca_only`` / detected from the
-checkpoint by the importer. Not implemented (unused by the flagship
-pipeline — the reference invokes protein_mpnn_run.py with only
-num_seq_per_target/sampling_temp/seed/batch,
-experiments/inference.py:584-599): pssm biasing, tied positions.
-``omit_AAs`` (default "X"), global AA bias, per-residue bias and
-per-position omit masks ARE supported, matching protein_mpnn_run defaults.
+checkpoint by the importer. The full sampling-restraint surface is
+supported, matching protein_mpnn_run defaults: ``omit_AAs`` (default
+"X"), global AA bias, per-residue bias, per-position omit masks, PSSM
+restraints (coef/bias mixing + log-odds renormalization), and tied
+positions for homo-oligomers (:func:`mpnn_tied_sample`).
 """
 from __future__ import annotations
 
@@ -701,6 +700,10 @@ def mpnn_sample(
     chain_m_pos: jax.Array | None = None,
     omit_aa_mask: jax.Array | None = None,
     bias_by_res: jax.Array | None = None,
+    pssm_coef: jax.Array | None = None,
+    pssm_bias: jax.Array | None = None,
+    pssm_multi: float = 0.0,
+    pssm_log_odds_mask: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Sample sequences for masked positions. One lax.scan over decode
     steps; every step runs the 3 decoder layers on that step's position
@@ -711,6 +714,12 @@ def mpnn_sample(
     copy S_true" (:1128) is an elementwise where() — identical because
     chain_mask already contains the validity mask, so sampled values are
     never selected at padded positions.
+
+    PSSM restraints (utils :1147-1156, runner --pssm_jsonl flags): passing
+    ``pssm_coef``+``pssm_bias`` enables the probability mixing
+    (pssm_bias_flag), passing ``pssm_log_odds_mask`` enables the
+    mask-renormalize step (pssm_log_odds_flag); order matches the
+    reference (bias mix -> log-odds renorm -> omit_AA_mask renorm).
     """
     bsz, length = x.shape[0], x.shape[1]
     vocab = cfg.vocab
@@ -778,6 +787,12 @@ def mpnn_sample(
             + bias_by_res[b_idx, t] / temperature
         )
         probs = jax.nn.softmax(logits, axis=-1)
+        if pssm_coef is not None and pssm_bias is not None:
+            coef = pssm_multi * pssm_coef[b_idx, t][:, None]  # [B,1]
+            probs = (1.0 - coef) * probs + coef * pssm_bias[b_idx, t]
+        if pssm_log_odds_mask is not None:
+            pm = probs * pssm_log_odds_mask[b_idx, t] + probs * 0.001
+            probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
         if omit_aa_mask is not None:
             pm = probs * (1.0 - omit_aa_mask[b_idx, t])
             probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
@@ -797,6 +812,194 @@ def mpnn_sample(
         )
 
     carry, _ = jax.lax.scan(step, carry0, (decoding_order.T, step_keys))
+    return {
+        "S": carry["S"],
+        "probs": carry["probs"],
+        "decoding_order": decoding_order,
+    }
+
+
+def mpnn_tied_sample(
+    params: dict, key: jax.Array, x: jax.Array, randn: jax.Array,
+    s_true: jax.Array, chain_mask: jax.Array, chain_labels: jax.Array,
+    residue_idx: jax.Array, mask: jax.Array, cfg: MPNNConfig,
+    tied_pos: tuple[tuple[int, ...], ...],
+    temperature: float = 0.1,
+    omit_aas: jax.Array | None = None,
+    bias_aas: jax.Array | None = None,
+    chain_m_pos: jax.Array | None = None,
+    omit_aa_mask: jax.Array | None = None,
+    bias_by_res: jax.Array | None = None,
+    tied_beta: jax.Array | None = None,
+    pssm_coef: jax.Array | None = None,
+    pssm_bias: jax.Array | None = None,
+    pssm_multi: float = 0.0,
+    pssm_log_odds_mask: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Tied sampling for homo-oligomers (ProteinMPNN.tied_sample, utils
+    :1171-1267): tied positions decode at consecutive steps sharing ONE
+    draw — each member's logits are tied_beta-weighted and averaged, the
+    sampled AA is written to every member.
+
+    TPU-native form: the group structure is static (``tied_pos``), so the
+    whole run is one lax.scan over G groups with a static inner loop over
+    the (padded) M member slots — the reference's host loop over
+    new_decoding_order becomes on-device rank math (group rank = min
+    member rank under the randn order, exactly the reference's
+    first-occurrence insertion, :1188-1195). Matches the reference's
+    batch-shared order (row 0 of randn decides, :1189) and its
+    last-member convention for bias_by_res / pssm gathers and the
+    fixed-position fallback (the python loop-variable reuse at :1246-1258
+    makes those read the LAST tied member's row).
+    """
+    bsz, length = x.shape[0], x.shape[1]
+    vocab = cfg.vocab
+    if omit_aas is None:
+        omit_aas = jnp.zeros((vocab,), F32).at[MPNN_ALPHABET.index("X")].set(1.0)
+    if bias_aas is None:
+        bias_aas = jnp.zeros((vocab,), F32)
+    if chain_m_pos is None:
+        chain_m_pos = jnp.ones((bsz, length), F32)
+    if bias_by_res is None:
+        bias_by_res = jnp.zeros((bsz, length, vocab), F32)
+    if tied_beta is None:
+        tied_beta = jnp.ones((length,), F32)
+
+    # Static group table: declared ties + singletons for the rest.
+    groups = [tuple(int(p) for p in g) for g in tied_pos]
+    in_group = {p for g in groups for p in g}
+    groups += [(i,) for i in range(length) if i not in in_group]
+    n_groups, m_max = len(groups), max(len(g) for g in groups)
+    members_np = np.zeros((n_groups, m_max), np.int32)
+    mmask_np = np.zeros((n_groups, m_max), np.float32)
+    for gi, g in enumerate(groups):
+        members_np[gi, : len(g)] = g
+        mmask_np[gi, : len(g)] = 1.0
+    members_arr = jnp.asarray(members_np)
+    mem_mask = jnp.asarray(mmask_np)
+
+    h_V_enc, h_E, e_idx = mpnn_encode(
+        params, x, mask, residue_idx, chain_labels, cfg
+    )
+    chain_mask = chain_mask * chain_m_pos * mask
+
+    # Group decode order from row 0 (the reference iterates
+    # decoding_order[0], :1189): a group decodes at its earliest member's
+    # rank; members then follow their tied_pos order.
+    keys0 = (chain_mask[0] + 0.0001) * jnp.abs(randn[0])
+    pos_rank = jnp.argsort(jnp.argsort(keys0))
+    member_ranks = jnp.where(
+        mem_mask > 0, pos_rank[members_arr].astype(F32), jnp.inf
+    )
+    group_order = jnp.argsort(jnp.min(member_ranks, axis=1))  # [G]
+    ordered_members = members_arr[group_order]
+    ordered_mmask = mem_mask[group_order]
+    sizes = jnp.sum(ordered_mmask, axis=1).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1]]
+    )
+    slot = offsets[:, None] + jnp.cumsum(ordered_mmask, axis=1).astype(
+        jnp.int32
+    ) - 1
+    valid = ordered_mmask.reshape(-1) > 0
+    flat_order = (
+        jnp.zeros((length,), jnp.int32)
+        .at[jnp.where(valid, slot.reshape(-1), length)]
+        .set(ordered_members.reshape(-1), mode="drop")
+    )
+    decoding_order = jnp.tile(flat_order[None], (bsz, 1))
+    mask_bw, mask_fw = _autoregressive_masks(decoding_order, e_idx, mask)
+
+    h_EX = _cat_neighbors_nodes(jnp.zeros_like(h_V_enc), h_E, e_idx)
+    h_EXV_fw = mask_fw * _cat_neighbors_nodes(h_V_enc, h_EX, e_idx)
+
+    n_dec = len(params["decoder"])
+    carry0 = {
+        "h_S": jnp.zeros_like(h_V_enc),
+        "h_V": (h_V_enc,) + tuple(
+            jnp.zeros_like(h_V_enc) for _ in range(n_dec)
+        ),
+        "S": jnp.zeros((bsz, length), jnp.int32),
+        "probs": jnp.zeros((bsz, length, vocab), F32),
+    }
+    group_keys = jax.random.split(key, n_groups)
+
+    def step(carry, xs):
+        mems, mmask, k_g = xs  # [M], [M], key
+        h_V = list(carry["h_V"])
+        h_S, S, probs_acc = carry["h_S"], carry["S"], carry["probs"]
+        gsize = jnp.maximum(jnp.sum(mmask), 1.0)
+        logits_acc = jnp.zeros((bsz, vocab), F32)
+        last_t, src_t = mems[0], mems[0]
+        done = jnp.asarray(False)  # reference's done_flag (:1222-1229)
+        for m in range(m_max):
+            t, is_m = mems[m], mmask[m] > 0
+            # A member whose mask is zero for the WHOLE batch short-circuits
+            # the group: its S_true is copied to every member and no
+            # further member runs the decoder (reference break, :1224-1229).
+            allz = jnp.all(mask[:, t] == 0) & is_m
+            src_t = jnp.where(allz & ~done, t, src_t)
+            run = is_m & ~done & ~allz
+            done = done | allz
+            e_idx_t = e_idx[:, t]  # [B,K]
+            h_s_j = jnp.take_along_axis(h_S, e_idx_t[:, :, None], axis=1)
+            h_es_t = jnp.concatenate([h_E[:, t], h_s_j], axis=-1)
+            h_exv_t, mask_bw_t, mask_g = h_EXV_fw[:, t], mask_bw[:, t], mask[:, t]
+            for layer, p in enumerate(params["decoder"]):
+                h_v_j = jnp.take_along_axis(
+                    h_V[layer], e_idx_t[:, :, None], axis=1
+                )
+                h_esv_dec = jnp.concatenate([h_es_t, h_v_j], axis=-1)
+                h_esv_t = mask_bw_t * h_esv_dec + h_exv_t
+                new = _dec_layer(p, h_V[layer][:, t], h_esv_t, mask_g, cfg.scale)
+                new = jnp.where(run, new, h_V[layer + 1][:, t])
+                h_V[layer + 1] = h_V[layer + 1].at[:, t].set(new)
+            lg = _linear(params["W_out"], h_V[-1][:, t]) / temperature
+            logits_acc = logits_acc + jnp.where(
+                run, tied_beta[t] / gsize, 0.0
+            ) * lg
+            last_t = jnp.where(is_m, t, last_t)
+        logits = (
+            logits_acc
+            - omit_aas[None, :] * 1e8
+            + bias_aas[None, :] / temperature
+            + bias_by_res[:, last_t] / temperature
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        if pssm_coef is not None and pssm_bias is not None:
+            coef = pssm_multi * pssm_coef[:, last_t][:, None]
+            probs = (1.0 - coef) * probs + coef * pssm_bias[:, last_t]
+        if pssm_log_odds_mask is not None:
+            pm = probs * pssm_log_odds_mask[:, last_t] + probs * 0.001
+            probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
+        if omit_aa_mask is not None:
+            pm = probs * (1.0 - omit_aa_mask[:, last_t])
+            probs = pm / jnp.sum(pm, axis=-1, keepdims=True)
+        sampled = jax.random.categorical(k_g, jnp.log(probs + 1e-20), axis=-1)
+        cm_last = chain_mask[:, last_t]
+        s_t = jnp.where(
+            cm_last > 0, sampled, s_true[:, last_t]
+        ).astype(jnp.int32)
+        # Short-circuited group: every member takes the masked member's
+        # S_true and probs stay zero (reference :1224-1229).
+        s_t = jnp.where(done, s_true[:, src_t], s_t).astype(jnp.int32)
+        for m in range(m_max):
+            t, is_m = mems[m], mmask[m] > 0
+            S = S.at[:, t].set(jnp.where(is_m, s_t, S[:, t]))
+            h_S = h_S.at[:, t].set(
+                jnp.where(is_m, params["W_s"][s_t], h_S[:, t])
+            )
+            probs_acc = probs_acc.at[:, t].set(
+                jnp.where(is_m & ~done, probs, probs_acc[:, t])
+            )
+        return (
+            {"h_S": h_S, "h_V": tuple(h_V), "S": S, "probs": probs_acc},
+            None,
+        )
+
+    carry, _ = jax.lax.scan(
+        step, carry0, (ordered_members, ordered_mmask, group_keys)
+    )
     return {
         "S": carry["S"],
         "probs": carry["probs"],

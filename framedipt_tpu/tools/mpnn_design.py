@@ -112,12 +112,25 @@ def aa_bias_vector(bias: dict[str, float] | None) -> np.ndarray:
     return vec
 
 
+def homomer_tied_positions(
+    chain_lengths: list[int],
+) -> tuple[tuple[int, ...], ...]:
+    """Tie residue i across every chain (the homo-oligomer pattern of
+    helper_scripts/make_tied_positions_dict.py, homooligomeric_state=1),
+    in the concatenated featurize_chains coordinate frame."""
+    offsets = np.concatenate([[0], np.cumsum(chain_lengths)[:-1]])
+    n = min(chain_lengths)
+    return tuple(
+        tuple(int(off + i) for off in offsets) for i in range(n)
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_seqs", "temperature")
+    jax.jit, static_argnames=("cfg", "num_seqs", "temperature", "tied_pos")
 )
 def _design_batch(
     params, key, feats, cfg, num_seqs, temperature,
-    omit_aas=None, bias_aas=None,
+    omit_aas=None, bias_aas=None, tied_pos=None,
 ):
     """Sample num_seqs sequences as one batch and score them with the
     teacher-forced pass at each sample's own decoding order."""
@@ -128,10 +141,17 @@ def _design_batch(
     enc = rep(feats["chain_encoding_all"])
     k_randn, k_sample, k_score = jax.random.split(key, 3)
     randn = jax.random.normal(k_randn, s.shape)
-    out = mpnn.mpnn_sample(
-        params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
-        temperature=temperature, omit_aas=omit_aas, bias_aas=bias_aas,
-    )
+    if tied_pos:
+        out = mpnn.mpnn_tied_sample(
+            params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
+            tied_pos, temperature=temperature, omit_aas=omit_aas,
+            bias_aas=bias_aas,
+        )
+    else:
+        out = mpnn.mpnn_sample(
+            params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
+            temperature=temperature, omit_aas=omit_aas, bias_aas=bias_aas,
+        )
     lp = mpnn.mpnn_log_probs(
         params, x, out["S"], mask, chain_m, res_idx, enc, cfg,
         decoding_order=out["decoding_order"],
@@ -228,6 +248,7 @@ def design_sequences(
     bias_aa: dict[str, float] | None = None,
     save_score: bool = False,
     save_probs: bool = False,
+    tie_chains: bool = False,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -237,7 +258,9 @@ def design_sequences(
     (protein_mpnn_run.py:369-374): per-PDB ``scores/{name}.npz``
     (score/global_score over all samples) and ``probs/{name}.npz``
     (per-step sampling probs, teacher-forced log_probs, S, mask,
-    chain_order)."""
+    chain_order). ``tie_chains`` designs homo-oligomers: residue i is
+    tied across every chain (tied_sample + the homomer pattern of
+    helper_scripts/make_tied_positions_dict.py)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
@@ -253,14 +276,15 @@ def design_sequences(
     for i, pdb_path in enumerate(pdbs):
         chains = _chains_from_pdb(pdb_path)
         feats = mpnn.featurize_chains(chains)
+        lens = [len(seq) for seq, _ in chains]
         out = _design_batch(
             params, jax.random.fold_in(key, i),
             {k: jnp.asarray(v) for k, v in feats.items()},
             cfg, num_seq_per_target, float(sampling_temp),
             omit_aas=omit_vec, bias_aas=bias_vec,
+            tied_pos=homomer_tied_positions(lens) if tie_chains else None,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
-        lens = [len(seq) for seq, _ in chains]
         letters = [int_to_chain_id(j) for j in range(len(chains))]
         name = pdb_path.stem
         lines = [
@@ -410,6 +434,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="Letters never sampled, e.g. 'XC'")
     p.add_argument("--bias_AA_jsonl", type=str, default="",
                    help="JSON file {letter: logit bias}, e.g. '{\"A\": -1.1}'")
+    p.add_argument("--tie_chains", action="store_true",
+                   help="Homo-oligomer design: tie residue i across all "
+                        "chains (tied_sample)")
     args = p.parse_args(argv)
 
     if bool(args.pdb_dir) == bool(args.pdb_path):
@@ -449,6 +476,7 @@ def main(argv: list[str] | None = None) -> None:
             sampling_temp=args.sampling_temp, seed=args.seed,
             params=params, cfg=cfg, omit_aas=args.omit_AAs, bias_aa=bias,
             save_score=args.save_score, save_probs=args.save_probs,
+            tie_chains=args.tie_chains,
         )
     print(out)
 

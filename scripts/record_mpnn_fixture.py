@@ -111,6 +111,56 @@ def main() -> None:
             pssm_bias_flag=False,
             bias_by_res=torch.zeros((bsz, length, 21)),
         )
+        # PSSM-restrained sampling (utils :1147-1156): coef/bias mixing +
+        # log-odds mask renormalization. The mixing happens in PROBABILITY
+        # space, so draws are non-degenerate even at tiny temperature and
+        # torch/jax RNGs can't be matched on S — instead pin the math on
+        # the recorded per-position probs with a SINGLE designed position
+        # (everything else fixed => its probs row is deterministic).
+        pssm_coef = rng.uniform(0.2, 0.9, (bsz, length)).astype(np.float32)
+        raw = rng.uniform(0.05, 1.0, (bsz, length, 21)).astype(np.float32)
+        pssm_bias = raw / raw.sum(-1, keepdims=True)
+        pssm_lom = (
+            rng.uniform(size=(bsz, length, 21)) > 0.3
+        ).astype(np.float32)
+        randn_pssm = rng.normal(size=(bsz, length)).astype(np.float32)
+        pssm_pos = 12
+        chain_m_pos = np.zeros((bsz, length), np.float32)
+        chain_m_pos[:, pssm_pos] = 1.0
+        sample_pssm = model.sample(
+            t["X"], torch.from_numpy(randn_pssm), t["S"], t["chain_M"],
+            t["chain_encoding_all"], t["residue_idx"], mask=t["mask"],
+            temperature=0.2, omit_AAs_np=omit_aas,
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.from_numpy(chain_m_pos),
+            omit_AA_mask=None,
+            pssm_coef=torch.from_numpy(pssm_coef),
+            pssm_bias=torch.from_numpy(pssm_bias),
+            pssm_multi=0.7, pssm_log_odds_flag=True,
+            pssm_log_odds_mask=torch.from_numpy(pssm_lom),
+            pssm_bias_flag=True,
+            bias_by_res=torch.zeros((bsz, length, 21)),
+        )
+        # Tied sample (utils :1171-1267): tie residue i of chain A (31aa)
+        # to residue i of chain B (22aa) for the first 22 positions —
+        # the homo-oligomer pattern of tied_positions_jsonl.
+        tied_pos = [[i, 31 + i] for i in range(22)]
+        tied_beta = torch.ones((length,))
+        randn_tied = rng.normal(size=(bsz, length)).astype(np.float32)
+        sample_tied = model.tied_sample(
+            t["X"], torch.from_numpy(randn_tied), t["S"], t["chain_M"],
+            t["chain_encoding_all"], t["residue_idx"], mask=t["mask"],
+            temperature=1e-4, omit_AAs_np=omit_aas,
+            bias_AAs_np=np.zeros(21, np.float32),
+            chain_M_pos=torch.ones_like(t["chain_M"]),
+            omit_AA_mask=None, pssm_coef=torch.zeros((bsz, length)),
+            pssm_bias=torch.zeros((bsz, length, 21)),
+            pssm_multi=0.0, pssm_log_odds_flag=False,
+            pssm_log_odds_mask=torch.ones((bsz, length, 21)),
+            pssm_bias_flag=False,
+            tied_pos=tied_pos, tied_beta=tied_beta,
+            bias_by_res=torch.zeros((bsz, length, 21)),
+        )
 
     out = pathlib.Path(REPO / "tests/parity/fixtures/recorded_mpnn_parity.npz")
     np.savez_compressed(
@@ -132,6 +182,17 @@ def main() -> None:
         log_probs_cond_bb=lp_cond_bb.numpy(),
         sample_S=sample["S"].numpy(),
         sample_order=sample["decoding_order"].numpy(),
+        randn_pssm=randn_pssm,
+        pssm_coef=pssm_coef,
+        pssm_bias=pssm_bias,
+        pssm_log_odds_mask=pssm_lom,
+        pssm_pos=np.int64(pssm_pos),
+        sample_pssm_probs=sample_pssm["probs"].numpy(),
+        randn_tied=randn_tied,
+        tied_pos=np.array(tied_pos, np.int32),
+        sample_tied_S=sample_tied["S"].numpy(),
+        sample_tied_order=sample_tied["decoding_order"].numpy(),
+        sample_tied_probs=sample_tied["probs"].numpy(),
         **{f"in_{k}": v for k, v in feats.items()},
     )
     print(f"wrote {out} ({out.stat().st_size} bytes)")

@@ -130,6 +130,71 @@ def test_near_greedy_sample_matches_torch(recorded):
     np.testing.assert_array_equal(np.asarray(out["S"]), data["sample_S"])
 
 
+def test_pssm_restrained_probs_match_torch(recorded):
+    """PSSM coef/bias mixing + log-odds mask renorm (utils :1147-1156).
+    The mixing is in probability space, so per-draw S parity is impossible
+    across RNGs — instead the fixture fixes every position but one, making
+    that position's post-pssm probs row deterministic, and compares it."""
+    data, params, cfg, f = recorded
+    pos = int(data["pssm_pos"])
+    chain_m_pos = np.zeros_like(f["chain_M"])
+    chain_m_pos[:, pos] = 1.0
+    out = jax.jit(
+        lambda key: mpnn.mpnn_sample(
+            params, key, jnp.asarray(f["X"]), jnp.asarray(data["randn_pssm"]),
+            jnp.asarray(f["S"]), jnp.asarray(f["chain_M"]),
+            jnp.asarray(f["chain_encoding_all"]), jnp.asarray(f["residue_idx"]),
+            jnp.asarray(f["mask"]), cfg, temperature=0.2,
+            chain_m_pos=jnp.asarray(chain_m_pos),
+            pssm_coef=jnp.asarray(data["pssm_coef"]),
+            pssm_bias=jnp.asarray(data["pssm_bias"]),
+            pssm_multi=0.7,
+            pssm_log_odds_mask=jnp.asarray(data["pssm_log_odds_mask"]),
+        )
+    )(jax.random.PRNGKey(5))
+    probs = np.asarray(out["probs"])
+    np.testing.assert_allclose(
+        probs[:, pos], data["sample_pssm_probs"][:, pos],
+        atol=2e-4, rtol=2e-4,
+    )
+    # every other row stayed zero (fixed positions, probs never written)
+    rest = np.delete(probs, pos, axis=1)
+    assert np.all(rest == 0.0)
+    # and fixed positions copied S_true
+    s = np.asarray(out["S"])
+    keep = np.ones(s.shape[1], bool)
+    keep[pos] = False
+    np.testing.assert_array_equal(s[:, keep], f["S"][:, keep])
+
+
+def test_tied_sample_matches_torch(recorded):
+    """tied_sample parity (utils :1171-1267): the scan-over-groups form
+    must reproduce the reference's host-loop sequences, flattened
+    decoding order, and per-position probs at near-greedy temperature."""
+    data, params, cfg, f = recorded
+    tied_pos = tuple(tuple(int(x) for x in row) for row in data["tied_pos"])
+    out = jax.jit(
+        lambda key: mpnn.mpnn_tied_sample(
+            params, key, jnp.asarray(f["X"]), jnp.asarray(data["randn_tied"]),
+            jnp.asarray(f["S"]), jnp.asarray(f["chain_M"]),
+            jnp.asarray(f["chain_encoding_all"]), jnp.asarray(f["residue_idx"]),
+            jnp.asarray(f["mask"]), cfg, tied_pos, temperature=1e-4,
+        )
+    )(jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(
+        np.asarray(out["decoding_order"]), data["sample_tied_order"]
+    )
+    np.testing.assert_array_equal(np.asarray(out["S"]), data["sample_tied_S"])
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), data["sample_tied_probs"],
+        atol=2e-4, rtol=2e-4,
+    )
+    # Tied positions actually share one amino acid.
+    s = np.asarray(out["S"])[0]
+    for a, b in tied_pos:
+        assert s[a] == s[b]
+
+
 def test_sample_respects_masks_and_omit(recorded):
     """Invariants at a realistic temperature: visible/padded positions keep
     S_true, X (index 20) is never sampled at designed positions, probs rows

@@ -221,6 +221,26 @@ def test_probs_backbones_contracts(tmp_path, params):
     assert not np.array_equal(d["log_p"][0], d["log_p"][1])
 
 
+def test_tie_chains_designs_homomers(tmp_path, params):
+    """--tie_chains: residue i is identical across chains in every sample
+    (tied_sample, utils :1171-1267; homomer tie pattern of
+    make_tied_positions_dict.py)."""
+    (tmp_path / "dimer.pdb").write_text(_two_chain_pdb(12, 12))
+    seqs_dir = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=3, params=params,
+        cfg=CFG, tie_chains=True, sampling_temp=0.5,
+    )
+    fa = (seqs_dir / "dimer.fa").read_text().splitlines()
+    for i in range(3):
+        a, b = fa[3 + 2 * i].split("/")
+        assert a == b, f"sample {i + 1} chains differ: {a} vs {b}"
+
+
+def test_homomer_tied_positions_uneven():
+    groups = mpnn_design.homomer_tied_positions([5, 3])
+    assert groups == ((0, 5), (1, 6), (2, 7))
+
+
 def test_design_save_score_and_probs(tmp_path, params):
     """--save_score / --save_probs sidecar npz files
     (protein_mpnn_run.py:369-374)."""
