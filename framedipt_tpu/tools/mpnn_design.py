@@ -249,6 +249,7 @@ def design_sequences(
     save_score: bool = False,
     save_probs: bool = False,
     tie_chains: bool = False,
+    design_chains: list[str] | None = None,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -260,7 +261,9 @@ def design_sequences(
     (per-step sampling probs, teacher-forced log_probs, S, mask,
     chain_order). ``tie_chains`` designs homo-oligomers: residue i is
     tied across every chain (tied_sample + the homomer pattern of
-    helper_scripts/make_tied_positions_dict.py)."""
+    helper_scripts/make_tied_positions_dict.py). ``design_chains``
+    restricts design to the named chains, the rest stay fixed at their
+    native sequence (the --chain_id_jsonl designed/fixed split)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
@@ -275,7 +278,17 @@ def design_sequences(
     bias_vec = jnp.asarray(aa_bias_vector(bias_aa))
     for i, pdb_path in enumerate(pdbs):
         chains = _chains_from_pdb(pdb_path)
-        feats = mpnn.featurize_chains(chains)
+        letters_all = [int_to_chain_id(j) for j in range(len(chains))]
+        designed_flags = (
+            [ltr in design_chains for ltr in letters_all]
+            if design_chains is not None else [True] * len(chains)
+        )
+        if design_chains is not None and not any(designed_flags):
+            raise ToolUnavailable(
+                f"{pdb_path.stem}: none of design_chains={design_chains} "
+                f"present (chains: {letters_all})"
+            )
+        feats = mpnn.featurize_chains(chains, designed=designed_flags)
         lens = [len(seq) for seq, _ in chains]
         out = _design_batch(
             params, jax.random.fold_in(key, i),
@@ -285,13 +298,15 @@ def design_sequences(
             tied_pos=homomer_tied_positions(lens) if tie_chains else None,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
-        letters = [int_to_chain_id(j) for j in range(len(chains))]
+        letters = letters_all
+        des = [ltr for ltr, d in zip(letters, designed_flags) if d]
+        fixed = [ltr for ltr, d in zip(letters, designed_flags) if not d]
         name = pdb_path.stem
         lines = [
-            ">{}, score={:.4f}, global_score={:.4f}, fixed_chains=[], "
+            ">{}, score={:.4f}, global_score={:.4f}, fixed_chains={}, "
             "designed_chains={}, model_name=v_48_020, seed={}".format(
                 name, float(out["native_score"][0]),
-                float(out["native_global_score"][0]), letters, seed,
+                float(out["native_global_score"][0]), fixed, des, seed,
             ),
             _seq_str(feats["S"][0], lens),
         ]
@@ -437,6 +452,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--tie_chains", action="store_true",
                    help="Homo-oligomer design: tie residue i across all "
                         "chains (tied_sample)")
+    p.add_argument("--design_chains", type=str, default="",
+                   help="Comma-separated chain letters to design; others "
+                        "stay fixed (the chain_id_jsonl designed/fixed "
+                        "split), e.g. 'A,C'")
     args = p.parse_args(argv)
 
     if bool(args.pdb_dir) == bool(args.pdb_path):
@@ -477,6 +496,10 @@ def main(argv: list[str] | None = None) -> None:
             params=params, cfg=cfg, omit_aas=args.omit_AAs, bias_aa=bias,
             save_score=args.save_score, save_probs=args.save_probs,
             tie_chains=args.tie_chains,
+            design_chains=(
+                [c.strip() for c in args.design_chains.split(",") if c.strip()]
+                or None
+            ),
         )
     print(out)
 

@@ -241,6 +241,30 @@ def test_homomer_tied_positions_uneven():
     assert groups == ((0, 5), (1, 6), (2, 7))
 
 
+def test_design_chains_keeps_fixed_chain_native(tmp_path, params):
+    """design_chains=['B']: chain A must come back as the native sequence
+    in every sample; header lists the designed/fixed split
+    (the --chain_id_jsonl contract)."""
+    (tmp_path / "case.pdb").write_text(_two_chain_pdb())
+    seqs_dir = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=3, params=params,
+        cfg=CFG, design_chains=["B"],
+    )
+    fa = (seqs_dir / "case.fa").read_text().splitlines()
+    assert "fixed_chains=['A']" in fa[0]
+    assert "designed_chains=['B']" in fa[0]
+    native_a = fa[1].split("/")[0]
+    for i in range(3):
+        a, b = fa[3 + 2 * i].split("/")
+        assert a == native_a, "fixed chain A was redesigned"
+    # and asking for a chain that doesn't exist fails loud
+    with pytest.raises(ToolUnavailable):
+        mpnn_design.design_sequences(
+            tmp_path, tmp_path / "sc2", params=params, cfg=CFG,
+            design_chains=["Z"],
+        )
+
+
 def test_design_save_score_and_probs(tmp_path, params):
     """--save_score / --save_probs sidecar npz files
     (protein_mpnn_run.py:369-374)."""
