@@ -130,33 +130,41 @@ def homomer_tied_positions(
 )
 def _design_batch(
     params, key, feats, cfg, num_seqs, temperature,
-    omit_aas=None, bias_aas=None, tied_pos=None,
+    omit_aas=None, bias_aas=None, tied_pos=None, chain_m_pos=None,
 ):
     """Sample num_seqs sequences as one batch and score them with the
-    teacher-forced pass at each sample's own decoding order."""
+    teacher-forced pass at each sample's own decoding order.
+    ``chain_m_pos`` [1,L] fixes sub-chain positions (reference
+    chain_M_pos from fixed_positions_jsonl; scores/recovery mask with
+    chain_M*chain_M_pos as in protein_mpnn_run.py:266-283)."""
     rep = lambda a: jnp.repeat(a, num_seqs, axis=0)  # noqa: E731
     x, s = rep(feats["X"]), rep(feats["S"])
     mask, chain_m = rep(feats["mask"]), rep(feats["chain_M"])
     res_idx = rep(feats["residue_idx"])
     enc = rep(feats["chain_encoding_all"])
+    cmp_ = (
+        rep(chain_m_pos) if chain_m_pos is not None
+        else jnp.ones_like(chain_m)
+    )
     k_randn, k_sample, k_score = jax.random.split(key, 3)
     randn = jax.random.normal(k_randn, s.shape)
     if tied_pos:
         out = mpnn.mpnn_tied_sample(
             params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
             tied_pos, temperature=temperature, omit_aas=omit_aas,
-            bias_aas=bias_aas,
+            bias_aas=bias_aas, chain_m_pos=cmp_,
         )
     else:
         out = mpnn.mpnn_sample(
             params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
             temperature=temperature, omit_aas=omit_aas, bias_aas=bias_aas,
+            chain_m_pos=cmp_,
         )
     lp = mpnn.mpnn_log_probs(
         params, x, out["S"], mask, chain_m, res_idx, enc, cfg,
         decoding_order=out["decoding_order"],
     )
-    mask_for_loss = mask * chain_m
+    mask_for_loss = mask * chain_m * cmp_
     scores = mpnn.mpnn_scores(out["S"], lp, mask_for_loss)
     global_scores = mpnn.mpnn_scores(out["S"], lp, mask)
     recovery = jnp.sum(
@@ -250,6 +258,7 @@ def design_sequences(
     save_probs: bool = False,
     tie_chains: bool = False,
     design_chains: list[str] | None = None,
+    fixed_positions: dict[str, list[int]] | None = None,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -263,7 +272,10 @@ def design_sequences(
     tied across every chain (tied_sample + the homomer pattern of
     helper_scripts/make_tied_positions_dict.py). ``design_chains``
     restricts design to the named chains, the rest stay fixed at their
-    native sequence (the --chain_id_jsonl designed/fixed split)."""
+    native sequence (the --chain_id_jsonl designed/fixed split).
+    ``fixed_positions`` maps chain letter -> 1-based residue positions to
+    keep native within a designed chain (the --fixed_positions_jsonl
+    contract, helper_scripts/make_fixed_positions_dict.py)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
@@ -290,12 +302,28 @@ def design_sequences(
             )
         feats = mpnn.featurize_chains(chains, designed=designed_flags)
         lens = [len(seq) for seq, _ in chains]
+        cmp_arr = None
+        if fixed_positions:
+            cmp_np = np.ones((1, sum(lens)), np.float32)
+            offsets = dict(zip(
+                letters_all, np.concatenate([[0], np.cumsum(lens)[:-1]])
+            ))
+            for ltr, pos_list in fixed_positions.items():
+                if ltr not in offsets:
+                    raise ToolUnavailable(
+                        f"{pdb_path.stem}: fixed_positions chain {ltr!r} "
+                        f"not present (chains: {letters_all})"
+                    )
+                for pos in pos_list:  # 1-based within the chain
+                    cmp_np[0, int(offsets[ltr]) + int(pos) - 1] = 0.0
+            cmp_arr = jnp.asarray(cmp_np)
         out = _design_batch(
             params, jax.random.fold_in(key, i),
             {k: jnp.asarray(v) for k, v in feats.items()},
             cfg, num_seq_per_target, float(sampling_temp),
             omit_aas=omit_vec, bias_aas=bias_vec,
             tied_pos=homomer_tied_positions(lens) if tie_chains else None,
+            chain_m_pos=cmp_arr,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         letters = letters_all
@@ -456,6 +484,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="Comma-separated chain letters to design; others "
                         "stay fixed (the chain_id_jsonl designed/fixed "
                         "split), e.g. 'A,C'")
+    p.add_argument("--fixed_positions_jsonl", type=str, default="",
+                   help="JSON file {chain: [1-based positions]} kept "
+                        "native within designed chains, e.g. "
+                        "'{\"A\": [1, 2, 10]}'")
     args = p.parse_args(argv)
 
     if bool(args.pdb_dir) == bool(args.pdb_path):
@@ -499,6 +531,10 @@ def main(argv: list[str] | None = None) -> None:
             design_chains=(
                 [c.strip() for c in args.design_chains.split(",") if c.strip()]
                 or None
+            ),
+            fixed_positions=(
+                json.loads(pathlib.Path(args.fixed_positions_jsonl).read_text())
+                if args.fixed_positions_jsonl else None
             ),
         )
     print(out)

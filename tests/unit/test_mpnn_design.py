@@ -265,6 +265,27 @@ def test_design_chains_keeps_fixed_chain_native(tmp_path, params):
         )
 
 
+def test_fixed_positions_keep_native(tmp_path, params):
+    """fixed_positions {chain: [1-based pos]} keep those residues native
+    in every sample (the --fixed_positions_jsonl contract)."""
+    (tmp_path / "case.pdb").write_text(_two_chain_pdb())
+    seqs_dir = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "sc", num_seq_per_target=3, params=params,
+        cfg=CFG, fixed_positions={"A": [1, 5], "B": [2]},
+    )
+    fa = (seqs_dir / "case.fa").read_text().splitlines()
+    na, nb = fa[1].split("/")
+    for i in range(3):
+        a, b = fa[3 + 2 * i].split("/")
+        assert a[0] == na[0] and a[4] == na[4]
+        assert b[1] == nb[1]
+    with pytest.raises(ToolUnavailable):
+        mpnn_design.design_sequences(
+            tmp_path, tmp_path / "sc2", params=params, cfg=CFG,
+            fixed_positions={"Z": [1]},
+        )
+
+
 def test_design_save_score_and_probs(tmp_path, params):
     """--save_score / --save_probs sidecar npz files
     (protein_mpnn_run.py:369-374)."""
