@@ -41,6 +41,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 TARGET_STEPS_PER_SEC = 100.0  # 500-step CDR3 sample in <5 s (BASELINE.md)
 TIMED_CALLS = 8
 
+# Plausibility floor: no step of the full-size model can run faster than
+# this on one v5e (fastest measured variant is ~1.4 ms/step; the floor
+# sits ~2x under it). The tunneled executor occasionally returns from
+# block_until_ready WITHOUT having executed (observed r5: a whole variant
+# timed at dispatch speed, reporting 195k steps/s) — any timing under
+# n_steps * floor is re-measured with a fresh key, and a variant that
+# stays under it becomes an {"error": ...} entry instead of garbage.
+MIN_STEP_SECONDS = 8e-4
+
+
+class ImplausibleTiming(RuntimeError):
+    """Timings stayed below the physical plausibility floor."""
+
+
+def _fresh_key() -> jax.Array:
+    return jax.random.PRNGKey(time.time_ns() % (2**31 - 1))
+
 
 def _build_sampler(num_res: int, num_t: int, compute_dtype: str,
                    use_pallas: bool, batch: int):
@@ -87,6 +104,27 @@ def _one_timed(run, params, feats, key) -> float:
     return time.perf_counter() - t0
 
 
+def _one_timed_plausible(run, params, feats, num_t: int, what: str,
+                         retries: int = 3) -> float:
+    """_one_timed with the plausibility floor: retry under-floor timings
+    with a fresh wall-clock key (busts executor dedup), then fail loud."""
+    floor = num_t * MIN_STEP_SECONDS
+    for _ in range(retries + 1):
+        t = _one_timed(run, params, feats, _fresh_key())
+        if t >= floor:
+            return t
+        print(
+            f"{what}: implausible timing {t * 1e3:.2f} ms for {num_t} "
+            f"steps (< {floor * 1e3:.0f} ms floor; non-blocking "
+            "dispatch?); retrying",
+            file=sys.stderr,
+        )
+    raise ImplausibleTiming(
+        f"{what}: timings stayed under the {floor * 1e3:.0f} ms floor "
+        f"after {retries + 1} attempts"
+    )
+
+
 def _stats(times: list[float], num_t: int) -> dict:
     rates = sorted(num_t / t for t in times)
     return {
@@ -105,8 +143,12 @@ def bench_pair(num_res: int, num_t: int, batch: int = 1) -> dict[str, dict]:
     _warm(run_p, p_p, f_p, base + 7)
     tx, tp = [], []
     for i in range(TIMED_CALLS):
-        tx.append(_one_timed(run_x, p_x, f_x, jax.random.PRNGKey(base + 100 + i)))
-        tp.append(_one_timed(run_p, p_p, f_p, jax.random.PRNGKey(base + 200 + i)))
+        tx.append(_one_timed_plausible(
+            run_x, p_x, f_x, num_t, f"len{num_res}_xla[{i}]"
+        ))
+        tp.append(_one_timed_plausible(
+            run_p, p_p, f_p, num_t, f"len{num_res}_pallas[{i}]"
+        ))
     sx, sp = _stats(tx, num_t), _stats(tp, num_t)
     sp["vs_xla_pct"] = round(100.0 * (sp["median"] / sx["median"] - 1.0), 1)
     # Paired per-iteration deltas (steps/s, pallas minus xla): the honest
@@ -134,7 +176,10 @@ def bench_single(num_res: int, num_t: int, compute_dtype: str,
     )
     _warm(run, params, feats, base)
     times = [
-        _one_timed(run, params, feats, jax.random.PRNGKey(base + 1 + i))
+        _one_timed_plausible(
+            run, params, feats, num_t,
+            f"single_len{num_res}_{compute_dtype}[{i}]",
+        )
         for i in range(TIMED_CALLS)
     ]
     return _stats(times, num_t)
@@ -221,17 +266,28 @@ def _build_train_runner(batch: int = 4, num_res: int = 256,
                 run_hi(state, jax.random.PRNGKey(base + 10 + i))
             )
 
+    def timed_scan(run_fn, n_steps: int, tag: str) -> float:
+        floor = n_steps * MIN_STEP_SECONDS
+        for _ in range(4):
+            key = _fresh_key()
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_fn(state, key))
+            t = time.perf_counter() - t0
+            if t >= floor:
+                return t
+            print(
+                f"train {tag}: implausible {t * 1e3:.2f} ms for {n_steps} "
+                "steps; retrying with a fresh key",
+                file=sys.stderr,
+            )
+        raise ImplausibleTiming(
+            f"train {tag}: timings stayed under the {floor * 1e3:.0f} ms "
+            "floor after 4 attempts"
+        )
+
     def time_once(i: int) -> float:
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            run_lo(state, jax.random.PRNGKey(base + 100 + i))
-        )
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            run_hi(state, jax.random.PRNGKey(base + 200 + i))
-        )
-        t_hi = time.perf_counter() - t0
+        t_lo = timed_scan(run_lo, lo, f"lo[{i}]")
+        t_hi = timed_scan(run_hi, hi, f"hi[{i}]")
         return (t_hi - t_lo) / (hi - lo)
 
     return warm, time_once
@@ -491,12 +547,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         _record_failure("kernel_parity", e)
 
-    # vs_baseline is computed from succeeded variants only.
+    # vs_baseline is computed from succeeded variants only — the explicit
+    # single-sample len-256 samplers, NOT paired-delta entries (their
+    # medians are deltas, not rates) or the batch-5 variant.
     len256 = [
-        v["median"]
-        for k, v in results.items()
-        if k.startswith("len256") and "batch" not in k
-        and isinstance(v, dict) and "median" in v
+        results[k]["median"]
+        for k in ("len256_f32", "len256_bf16", "len256_bf16_pallas")
+        if isinstance(results.get(k), dict) and "median" in results[k]
     ]
     if not len256:
         # Every len-256 variant failed: still emit the one JSON line the
