@@ -34,6 +34,7 @@ import numpy as np
 from framedipt_tpu.data import constants as rc
 from framedipt_tpu.data.protein import from_pdb_string, int_to_chain_id
 from framedipt_tpu.model import mpnn
+from framedipt_tpu.tools import mpnn_restraints as restraints
 from framedipt_tpu.tools.external import ToolUnavailable
 from framedipt_tpu.tools.log import get_logger
 
@@ -131,12 +132,18 @@ def homomer_tied_positions(
 def _design_batch(
     params, key, feats, cfg, num_seqs, temperature,
     omit_aas=None, bias_aas=None, tied_pos=None, chain_m_pos=None,
+    omit_aa_mask=None, bias_by_res=None, tied_beta=None,
+    pssm_coef=None, pssm_bias=None, pssm_multi=0.0,
+    pssm_log_odds_mask=None,
 ):
     """Sample num_seqs sequences as one batch and score them with the
     teacher-forced pass at each sample's own decoding order.
     ``chain_m_pos`` [1,L] fixes sub-chain positions (reference
     chain_M_pos from fixed_positions_jsonl; scores/recovery mask with
-    chain_M*chain_M_pos as in protein_mpnn_run.py:266-283)."""
+    chain_M*chain_M_pos as in protein_mpnn_run.py:266-283). The other
+    optional [1,L,...] restraint tensors are the tied_featurize outputs
+    built by tools/mpnn_restraints.py and broadcast over the sample
+    batch; ``tied_beta`` is per-position [L] (tied_sample weights)."""
     rep = lambda a: jnp.repeat(a, num_seqs, axis=0)  # noqa: E731
     x, s = rep(feats["X"]), rep(feats["S"])
     mask, chain_m = rep(feats["mask"]), rep(feats["chain_M"])
@@ -146,19 +153,29 @@ def _design_batch(
         rep(chain_m_pos) if chain_m_pos is not None
         else jnp.ones_like(chain_m)
     )
+    opt = lambda a: None if a is None else rep(a)  # noqa: E731
+    restraints = dict(
+        omit_aa_mask=opt(omit_aa_mask),
+        bias_by_res=opt(bias_by_res),
+        pssm_coef=opt(pssm_coef),
+        pssm_bias=opt(pssm_bias),
+        pssm_multi=pssm_multi,
+        pssm_log_odds_mask=opt(pssm_log_odds_mask),
+    )
     k_randn, k_sample, k_score = jax.random.split(key, 3)
     randn = jax.random.normal(k_randn, s.shape)
     if tied_pos:
         out = mpnn.mpnn_tied_sample(
             params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
             tied_pos, temperature=temperature, omit_aas=omit_aas,
-            bias_aas=bias_aas, chain_m_pos=cmp_,
+            bias_aas=bias_aas, chain_m_pos=cmp_, tied_beta=tied_beta,
+            **restraints,
         )
     else:
         out = mpnn.mpnn_sample(
             params, k_sample, x, randn, s, chain_m, enc, res_idx, mask, cfg,
             temperature=temperature, omit_aas=omit_aas, bias_aas=bias_aas,
-            chain_m_pos=cmp_,
+            chain_m_pos=cmp_, **restraints,
         )
     lp = mpnn.mpnn_log_probs(
         params, x, out["S"], mask, chain_m, res_idx, enc, cfg,
@@ -259,6 +276,15 @@ def design_sequences(
     tie_chains: bool = False,
     design_chains: list[str] | None = None,
     fixed_positions: dict[str, list[int]] | None = None,
+    omit_aa_dict: dict | None = None,
+    bias_by_res_dict: dict | None = None,
+    tied_positions: list | dict | None = None,
+    pssm_dict: dict | None = None,
+    pssm_multi: float = 0.0,
+    pssm_threshold: float = 0.0,
+    pssm_log_odds_flag: bool = False,
+    pssm_bias_flag: bool = False,
+    backbone_noise: float = 0.0,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -275,7 +301,17 @@ def design_sequences(
     native sequence (the --chain_id_jsonl designed/fixed split).
     ``fixed_positions`` maps chain letter -> 1-based residue positions to
     keep native within a designed chain (the --fixed_positions_jsonl
-    contract, helper_scripts/make_fixed_positions_dict.py)."""
+    contract, helper_scripts/make_fixed_positions_dict.py).
+
+    The remaining runner restraints take the reference jsonl dict shapes
+    (see tools/mpnn_restraints.py; {pdb_name: inner} and bare forms both
+    accepted): ``omit_aa_dict`` (--omit_AA_jsonl), ``bias_by_res_dict``
+    (--bias_by_res_jsonl), ``tied_positions`` (--tied_positions_jsonl,
+    arbitrary groups + optional per-member betas — mutually exclusive
+    with ``tie_chains``), ``pssm_dict`` + the four pssm knobs
+    (--pssm_jsonl / _multi / _threshold / _log_odds_flag / _bias_flag,
+    protein_mpnn_run.py:220,291), and ``backbone_noise`` (the runner's
+    --backbone_noise augment_eps, gaussian on input coords)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
@@ -302,34 +338,62 @@ def design_sequences(
             )
         feats = mpnn.featurize_chains(chains, designed=designed_flags)
         lens = [len(seq) for seq, _ in chains]
+        name = pdb_path.stem
+        res = restraints  # module alias
         cmp_arr = None
         if fixed_positions:
-            cmp_np = np.ones((1, sum(lens)), np.float32)
-            offsets = dict(zip(
-                letters_all, np.concatenate([[0], np.cumsum(lens)[:-1]])
+            cmp_arr = jnp.asarray(res.chain_m_pos_from_dict(
+                res.resolve_name(fixed_positions, name), letters_all, lens
             ))
-            for ltr, pos_list in fixed_positions.items():
-                if ltr not in offsets:
-                    raise ToolUnavailable(
-                        f"{pdb_path.stem}: fixed_positions chain {ltr!r} "
-                        f"not present (chains: {letters_all})"
-                    )
-                for pos in pos_list:  # 1-based within the chain
-                    cmp_np[0, int(offsets[ltr]) + int(pos) - 1] = 0.0
-            cmp_arr = jnp.asarray(cmp_np)
+        omit_mask_arr = bias_res_arr = tied_beta_arr = None
+        if omit_aa_dict:
+            omit_mask_arr = jnp.asarray(res.omit_aa_mask_from_dict(
+                res.resolve_name(omit_aa_dict, name), letters_all, lens
+            ))
+        if bias_by_res_dict:
+            bias_res_arr = jnp.asarray(res.bias_by_res_from_dict(
+                res.resolve_name(bias_by_res_dict, name), letters_all, lens
+            ))
+        if tie_chains and tied_positions:
+            raise ToolUnavailable(
+                "tie_chains and tied_positions are mutually exclusive"
+            )
+        tied_pos = homomer_tied_positions(lens) if tie_chains else None
+        if tied_positions:
+            tied_pos, tied_beta_np = res.tied_positions_from_list(
+                res.resolve_name(tied_positions, name), letters_all, lens
+            )
+            tied_beta_arr = jnp.asarray(tied_beta_np)
+        pssm_kwargs: dict = {}
+        if pssm_dict and (pssm_bias_flag or pssm_log_odds_flag):
+            coef, pbias, lo_mask = res.pssm_tensors_from_dict(
+                res.resolve_name(pssm_dict, name), letters_all, lens,
+                threshold=pssm_threshold,
+            )
+            if pssm_bias_flag:
+                pssm_kwargs["pssm_coef"] = jnp.asarray(coef)
+                pssm_kwargs["pssm_bias"] = jnp.asarray(pbias)
+                pssm_kwargs["pssm_multi"] = float(pssm_multi)
+            if pssm_log_odds_flag:
+                pssm_kwargs["pssm_log_odds_mask"] = jnp.asarray(lo_mask)
+        f = {k: jnp.asarray(v) for k, v in feats.items()}
+        if backbone_noise > 0.0:  # the runner's augment_eps on coords
+            f["X"] = f["X"] + backbone_noise * jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(key, i), 7),
+                f["X"].shape,
+            ) * f["mask"][..., None, None]
         out = _design_batch(
             params, jax.random.fold_in(key, i),
-            {k: jnp.asarray(v) for k, v in feats.items()},
-            cfg, num_seq_per_target, float(sampling_temp),
+            f, cfg, num_seq_per_target, float(sampling_temp),
             omit_aas=omit_vec, bias_aas=bias_vec,
-            tied_pos=homomer_tied_positions(lens) if tie_chains else None,
-            chain_m_pos=cmp_arr,
+            tied_pos=tied_pos, chain_m_pos=cmp_arr,
+            omit_aa_mask=omit_mask_arr, bias_by_res=bias_res_arr,
+            tied_beta=tied_beta_arr, **pssm_kwargs,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
         letters = letters_all
         des = [ltr for ltr, d in zip(letters, designed_flags) if d]
         fixed = [ltr for ltr, d in zip(letters, designed_flags) if not d]
-        name = pdb_path.stem
         lines = [
             ">{}, score={:.4f}, global_score={:.4f}, fixed_chains={}, "
             "designed_chains={}, model_name=v_48_020, seed={}".format(
@@ -488,6 +552,28 @@ def main(argv: list[str] | None = None) -> None:
                    help="JSON file {chain: [1-based positions]} kept "
                         "native within designed chains, e.g. "
                         "'{\"A\": [1, 2, 10]}'")
+    p.add_argument("--omit_AA_jsonl", type=str, default="",
+                   help="Per-position forbidden letters: {chain: "
+                        "[[[positions], \"LETTERS\"], ...]}")
+    p.add_argument("--bias_by_res_jsonl", type=str, default="",
+                   help="Per-position per-letter logit bias: "
+                        "{chain: [[21 floats] x chain_len]}")
+    p.add_argument("--tied_positions_jsonl", type=str, default="",
+                   help="Arbitrary tie groups: [{chain: [pos]} | "
+                        "{chain: [[pos],[beta]]}, ...] "
+                        "(mutually exclusive with --tie_chains)")
+    p.add_argument("--pssm_jsonl", type=str, default="",
+                   help="PSSM restraints {chain: {pssm_coef, pssm_bias, "
+                        "pssm_log_odds}}")
+    p.add_argument("--pssm_multi", type=float, default=0.0,
+                   help="[0,1]: 0 ignore pssm, 1 ignore MPNN predictions")
+    p.add_argument("--pssm_threshold", type=float, default=0.0,
+                   help="log-odds cutoff for the per-position AA mask")
+    p.add_argument("--pssm_log_odds_flag", type=int, default=0)
+    p.add_argument("--pssm_bias_flag", type=int, default=0)
+    p.add_argument("--backbone_noise", type=float, default=0.0,
+                   help="Gaussian std added to backbone coords "
+                        "(the runner's augment_eps)")
     args = p.parse_args(argv)
 
     if bool(args.pdb_dir) == bool(args.pdb_path):
@@ -533,9 +619,30 @@ def main(argv: list[str] | None = None) -> None:
                 or None
             ),
             fixed_positions=(
-                json.loads(pathlib.Path(args.fixed_positions_jsonl).read_text())
+                restraints.load_jsonl(args.fixed_positions_jsonl)
                 if args.fixed_positions_jsonl else None
             ),
+            omit_aa_dict=(
+                restraints.load_jsonl(args.omit_AA_jsonl)
+                if args.omit_AA_jsonl else None
+            ),
+            bias_by_res_dict=(
+                restraints.load_jsonl(args.bias_by_res_jsonl)
+                if args.bias_by_res_jsonl else None
+            ),
+            tied_positions=(
+                restraints.load_jsonl(args.tied_positions_jsonl)
+                if args.tied_positions_jsonl else None
+            ),
+            pssm_dict=(
+                restraints.load_jsonl(args.pssm_jsonl)
+                if args.pssm_jsonl else None
+            ),
+            pssm_multi=args.pssm_multi,
+            pssm_threshold=args.pssm_threshold,
+            pssm_log_odds_flag=bool(args.pssm_log_odds_flag),
+            pssm_bias_flag=bool(args.pssm_bias_flag),
+            backbone_noise=args.backbone_noise,
         )
     print(out)
 
