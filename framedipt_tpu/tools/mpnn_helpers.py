@@ -1,0 +1,257 @@
+"""Generators for the MPNN restraint jsonl dicts (helper_scripts parity).
+
+The reference stages restraints in two hops: parse_multiple_chains.py
+writes a parsed-chains jsonl, then each helper_scripts/*.py reads it and
+emits one restraint dict. Here the generators read the PDBs directly
+(chain letters and lengths are all they need) and emit the SAME
+name-keyed jsonl formats, which ``tools/mpnn_design.py`` — and the
+reference runner — consume unchanged.
+
+Covered generators (reference file -> subcommand):
+
+- make_fixed_positions_dict.py -> ``fixed-positions`` (incl.
+  --specify_non_fixed inversion)
+- make_tied_positions_dict.py  -> ``tied-positions`` (explicit lists and
+  --homooligomer 1)
+- make_pos_neg_tied_positions_dict.py -> ``tied-positions`` with
+  --pos_neg_chain_list/--pos_neg_chain_betas (weighted [[pos],[beta]]
+  groups for positive/negative design)
+- make_bias_AA.py -> ``bias-aa``
+- make_bias_per_res_dict.py -> ``bias-per-res`` (the reference script
+  hard-codes its chains/positions as an editable example; this is the
+  parameterized form: --chain/--positions/--AA_list/--bias)
+- assign_fixed_chains.py -> ``assign-chains``
+
+List-argument grammar matches the reference: space-separated within a
+chain, comma-separated between chains ("1 2 4, 3 5").
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import numpy as np
+
+from framedipt_tpu.data.protein import from_pdb_string, int_to_chain_id
+
+# Keep in sync with model/mpnn.py MPNN_ALPHABET (imported lazily there to
+# keep this module jax-free for fast CLI startup).
+ALPHABET = "ACDEFGHIKLMNPQRSTVWYX"
+
+
+def chain_lengths_from_pdb(pdb_path: str | pathlib.Path) -> dict[str, int]:
+    """PDB -> {chain letter: residue count}, letters in file order."""
+    prot = from_pdb_string(pathlib.Path(pdb_path).read_text())
+    out: dict[str, int] = {}
+    for cid in sorted(np.unique(prot.chain_index)):
+        out[int_to_chain_id(int(cid))] = int((prot.chain_index == cid).sum())
+    return out
+
+
+def _pdbs(pdb_dir: str, pdb_path: str) -> list[pathlib.Path]:
+    if bool(pdb_dir) == bool(pdb_path):
+        raise SystemExit("give exactly one of --pdb_dir / --pdb_path")
+    if pdb_path:
+        return [pathlib.Path(pdb_path)]
+    paths = sorted(pathlib.Path(pdb_dir).glob("*.pdb"))
+    if not paths:
+        raise SystemExit(f"no .pdb files under {pdb_dir}")
+    return paths
+
+
+def _split_positions(position_list: str) -> list[list[int]]:
+    return [
+        [int(p) for p in one.split()] for one in position_list.split(",")
+    ]
+
+
+def make_fixed_positions(
+    chains: dict[str, int], chain_list: list[str],
+    positions: list[list[int]], specify_non_fixed: bool = False,
+) -> dict[str, list[int]]:
+    """make_fixed_positions_dict.py:17-41 for one structure: listed
+    chains get their positions fixed (others []); with specify_non_fixed
+    the listed positions are the DESIGNED ones and everything else —
+    including every position of unlisted chains — is fixed."""
+    out: dict[str, list[int]] = {}
+    if not specify_non_fixed:
+        for ltr, pos in zip(chain_list, positions):
+            out[ltr] = pos
+        for ltr in chains:
+            out.setdefault(ltr, [])
+    else:
+        for ltr, ln in chains.items():
+            everything = list(range(1, ln + 1))
+            if ltr in chain_list:
+                designed = set(positions[chain_list.index(ltr)])
+                out[ltr] = sorted(set(everything) - designed)
+            else:
+                out[ltr] = everything
+    return out
+
+
+def make_tied_positions(
+    chains: dict[str, int],
+    chain_list: list[str] | None = None,
+    positions: list[list[int]] | None = None,
+    homooligomer: bool = False,
+    betas: dict[str, float] | None = None,
+) -> list[dict]:
+    """make_tied_positions_dict.py:16-43 / make_pos_neg_…:16-54 for one
+    structure. Explicit mode ties positions[j][i] across chain_list;
+    homooligomer mode ties residue i across ALL chains (first chain's
+    length). ``betas`` switches to the weighted [[pos],[beta]] form
+    (pos/neg design); chains missing from it get weight 1.0."""
+    groups: list[dict] = []
+    if homooligomer:
+        letters = sorted(chains)
+        length = chains[letters[0]]
+        if any(chains[ltr] != length for ltr in letters):
+            # upstream silently emits out-of-range ties here; fail loud
+            raise SystemExit(
+                f"homooligomer ties need equal-length chains, got {chains}"
+            )
+        for i in range(1, length + 1):
+            if betas is None:
+                groups.append({ltr: [i] for ltr in letters})
+            else:
+                groups.append({
+                    ltr: [[i], [float(betas.get(ltr, 1.0))]]
+                    for ltr in letters
+                })
+    else:
+        assert chain_list is not None and positions is not None
+        for i in range(len(positions[0])):
+            if betas is None:
+                groups.append({
+                    ltr: [positions[j][i]]
+                    for j, ltr in enumerate(chain_list)
+                })
+            else:
+                groups.append({
+                    ltr: [[positions[j][i]], [float(betas.get(ltr, 1.0))]]
+                    for j, ltr in enumerate(chain_list)
+                })
+    return groups
+
+
+def make_bias_per_res(
+    chains: dict[str, int], chain: str, positions: list[int],
+    aa_list: list[str], bias: float,
+) -> dict[str, list]:
+    """Parameterized make_bias_per_res_dict.py: bias ``aa_list`` by
+    ``bias`` at the given 1-based positions of ``chain``; every chain
+    gets a full zero array (the consumer indexes all chains)."""
+    out = {}
+    for ltr, ln in chains.items():
+        arr = np.zeros((ln, len(ALPHABET)))
+        if ltr == chain:
+            for pos in positions:
+                for aa in aa_list:
+                    arr[pos - 1, ALPHABET.index(aa)] = bias
+        out[ltr] = arr.tolist()
+    return out
+
+
+def _write(path: str, obj: dict) -> None:
+    pathlib.Path(path).write_text(json.dumps(obj) + "\n")
+    print(path)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Generate MPNN restraint jsonl dicts from PDBs "
+                    "(helper_scripts equivalents)"
+    )
+    p.add_argument("--pdb_dir", type=str, default="")
+    p.add_argument("--pdb_path", type=str, default="")
+    p.add_argument("--output_path", type=str, required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    fp = sub.add_parser("fixed-positions",
+                        help="make_fixed_positions_dict equivalent")
+    fp.add_argument("--chain_list", type=str, required=True,
+                    help="space-separated chains, e.g. 'A B'")
+    fp.add_argument("--position_list", type=str, required=True,
+                    help="per-chain 1-based positions, e.g. '1 2 5, 3 4'")
+    fp.add_argument("--specify_non_fixed", action="store_true")
+
+    tp = sub.add_parser("tied-positions",
+                        help="make_[pos_neg_]tied_positions_dict equivalent")
+    tp.add_argument("--chain_list", type=str, default="")
+    tp.add_argument("--position_list", type=str, default="")
+    tp.add_argument("--homooligomer", type=int, default=0)
+    tp.add_argument("--pos_neg_chain_list", type=str, default="",
+                    help="chains for weighted ties, e.g. 'A B'")
+    tp.add_argument("--pos_neg_chain_betas", type=str, default="",
+                    help="weights per chain, e.g. '1.0 -0.5'")
+
+    ba = sub.add_parser("bias-aa", help="make_bias_AA equivalent")
+    ba.add_argument("--AA_list", type=str, required=True)
+    ba.add_argument("--bias_list", type=str, required=True)
+
+    br = sub.add_parser("bias-per-res",
+                        help="make_bias_per_res_dict (parameterized)")
+    br.add_argument("--chain", type=str, required=True)
+    br.add_argument("--positions", type=str, required=True,
+                    help="space-separated 1-based positions")
+    br.add_argument("--AA_list", type=str, required=True)
+    br.add_argument("--bias", type=float, required=True)
+
+    ac = sub.add_parser("assign-chains",
+                        help="assign_fixed_chains equivalent")
+    ac.add_argument("--chain_list", type=str, required=True,
+                    help="chains to design; the rest are fixed")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bias-aa":  # structure-independent
+        aas = args.AA_list.split()
+        biases = [float(b) for b in args.bias_list.split()]
+        if len(aas) != len(biases):
+            raise SystemExit("--AA_list and --bias_list lengths differ")
+        _write(args.output_path, dict(zip(aas, biases)))
+        return
+
+    my_dict: dict = {}
+    for pdb in _pdbs(args.pdb_dir, args.pdb_path):
+        chains = chain_lengths_from_pdb(pdb)
+        name = pdb.stem
+        if args.cmd == "fixed-positions":
+            my_dict[name] = make_fixed_positions(
+                chains, args.chain_list.split(),
+                _split_positions(args.position_list),
+                specify_non_fixed=args.specify_non_fixed,
+            )
+        elif args.cmd == "tied-positions":
+            betas = None
+            if args.pos_neg_chain_list:
+                betas = dict(zip(
+                    args.pos_neg_chain_list.split(),
+                    [float(b) for b in args.pos_neg_chain_betas.split()],
+                ))
+            my_dict[name] = make_tied_positions(
+                chains,
+                chain_list=(args.chain_list.split() or None),
+                positions=(
+                    _split_positions(args.position_list)
+                    if args.position_list else None
+                ),
+                homooligomer=bool(args.homooligomer),
+                betas=betas,
+            )
+        elif args.cmd == "bias-per-res":
+            my_dict[name] = make_bias_per_res(
+                chains, args.chain, [int(x) for x in args.positions.split()],
+                args.AA_list.split(), args.bias,
+            )
+        elif args.cmd == "assign-chains":
+            designed = args.chain_list.split()
+            fixed = [ltr for ltr in chains if ltr not in designed]
+            my_dict[name] = (designed, fixed)
+    _write(args.output_path, my_dict)
+
+
+if __name__ == "__main__":
+    main()
