@@ -95,6 +95,86 @@ def _chains_from_pdb(pdb_path: pathlib.Path) -> list[tuple[str, np.ndarray]]:
     return chains
 
 
+def _ca_only_chains(
+    chains: list[tuple[str, np.ndarray]],
+) -> list[tuple[str, np.ndarray]]:
+    """Slice full-backbone [L,4,3] chains down to the CA column [L,1,3]
+    for CA-only checkpoints (mpnn_encode reads column 0 as CA, matching
+    the reference's ca_only featurize X[B,L,1,3], utils :183-186) —
+    and so that the validity mask depends on CA presence only."""
+    return [
+        (seq, xyz if xyz.shape[1] == 1 else xyz[:, 1:2, :])
+        for seq, xyz in chains
+    ]
+
+
+def chains_from_parsed_entry(
+    entry: dict,
+) -> tuple[str, list[tuple[str, np.ndarray]]]:
+    """One parse_multiple_chains.py jsonl entry -> (name, chains).
+
+    Entry format (parse_multiple_chains.py:113-146): ``seq_chain_{L}``
+    strings + ``coords_chain_{L}`` dicts of per-atom [L,3] lists
+    (N/CA/C/O, or CA only under --ca_only); '-' gap characters map to X
+    with the coords' NaNs masking the residue."""
+    letters = sorted(
+        k.removeprefix("seq_chain_") for k in entry
+        if k.startswith("seq_chain_")
+    )
+    if not letters:
+        raise ToolUnavailable(
+            f"parsed entry {entry.get('name', '?')!r}: no seq_chain_ keys"
+        )
+    chains = []
+    for ltr in letters:
+        seq = entry[f"seq_chain_{ltr}"].replace("-", "X")
+        cd = entry[f"coords_chain_{ltr}"]
+        if f"N_chain_{ltr}" in cd:
+            xyz = np.stack(
+                [np.asarray(cd[f"{a}_chain_{ltr}"], np.float64)
+                 for a in ("N", "CA", "C", "O")],
+                axis=1,
+            )
+        else:  # CA-only parse
+            xyz = np.asarray(cd[f"CA_chain_{ltr}"], np.float64)[:, None, :]
+        if len(seq) != len(xyz):
+            raise ToolUnavailable(
+                f"parsed entry {entry.get('name', '?')!r} chain {ltr}: "
+                f"seq len {len(seq)} != coords {len(xyz)}"
+            )
+        chains.append((seq, xyz))
+    return str(entry.get("name", "entry")), chains
+
+
+def iter_cases(
+    pdb_dir: pathlib.Path | str | None = None,
+    jsonl_path: pathlib.Path | str | None = None,
+) -> list[tuple[str, list[tuple[str, np.ndarray]]]]:
+    """The runner's two input modes as one iterator: a folder of PDBs
+    (parsed in-process) or a parse_multiple_chains.py jsonl dataset
+    (protein_mpnn_run.py:147-158 StructureDataset)."""
+    if (pdb_dir is None) == (jsonl_path is None):
+        raise ToolUnavailable("give exactly one of pdb_dir / jsonl_path")
+    if jsonl_path is not None:
+        path = pathlib.Path(jsonl_path)
+        if not path.exists():
+            raise ToolUnavailable(f"no parsed jsonl at {path}")
+        import json as _json
+
+        cases = [
+            chains_from_parsed_entry(_json.loads(line))
+            for line in path.read_text().splitlines() if line.strip()
+        ]
+        if not cases:
+            raise ToolUnavailable(f"{path}: empty parsed jsonl")
+        return cases
+    pdb_dir = pathlib.Path(pdb_dir)
+    pdbs = sorted(pdb_dir.glob("*.pdb"))
+    if not pdbs:
+        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
+    return [(p.stem, _chains_from_pdb(p)) for p in pdbs]
+
+
 def aa_omit_vector(omit_aas: str) -> np.ndarray:
     """``--omit_AAs`` string -> one-hot omit vector over the 21-letter
     alphabet (protein_mpnn_run.py:30-34)."""
@@ -216,13 +296,14 @@ def _seq_str(s_row: np.ndarray, chain_lengths: list[int]) -> str:
 
 
 def score_backbones(
-    pdb_dir: pathlib.Path | str,
+    pdb_dir: pathlib.Path | str | None,
     output_dir: pathlib.Path | str,
     num_scores: int = 8,
     seed: int = 38,
     params: dict | None = None,
     cfg: mpnn.MPNNConfig | None = None,
     weights_path: str | pathlib.Path | None = None,
+    jsonl_path: pathlib.Path | str | None = None,
 ) -> pathlib.Path:
     """The runner's --score_only mode (protein_mpnn_run.py:222-252): score
     each PDB's native backbone-sequence pair under num_scores random
@@ -231,15 +312,13 @@ def score_backbones(
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
-    pdb_dir = pathlib.Path(pdb_dir)
     out = pathlib.Path(output_dir) / "score_only"
     out.mkdir(parents=True, exist_ok=True)
-    pdbs = sorted(pdb_dir.glob("*.pdb"))
-    if not pdbs:
-        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
     key = jax.random.PRNGKey(seed)
-    for i, pdb_path in enumerate(pdbs):
-        feats = mpnn.featurize_chains(_chains_from_pdb(pdb_path))
+    for i, (case_name, chains) in enumerate(iter_cases(pdb_dir, jsonl_path)):
+        if cfg.ca_only:
+            chains = _ca_only_chains(chains)
+        feats = mpnn.featurize_chains(chains)
         rep = lambda a: jnp.repeat(jnp.asarray(a), num_scores, axis=0)  # noqa: E731
         x, s = rep(feats["X"]), rep(feats["S"])
         mask, chain_m = rep(feats["mask"]), rep(feats["chain_M"])
@@ -251,17 +330,17 @@ def score_backbones(
         score = np.asarray(mpnn.mpnn_scores(s, lp, mask * chain_m))
         global_score = np.asarray(mpnn.mpnn_scores(s, lp, mask))
         np.savez(
-            out / f"{pdb_path.stem}.npz", score=score, global_score=global_score
+            out / f"{case_name}.npz", score=score, global_score=global_score
         )
         logger.info(
-            f"scored {pdb_path.stem}: mean {score.mean():.4f} "
+            f"scored {case_name}: mean {score.mean():.4f} "
             f"global {global_score.mean():.4f} (n={num_scores})"
         )
     return out
 
 
 def design_sequences(
-    pdb_dir: pathlib.Path | str,
+    pdb_dir: pathlib.Path | str | None,
     output_dir: pathlib.Path | str,
     num_seq_per_target: int = 8,
     sampling_temp: float = 0.1,
@@ -285,6 +364,7 @@ def design_sequences(
     pssm_log_odds_flag: bool = False,
     pssm_bias_flag: bool = False,
     backbone_noise: float = 0.0,
+    jsonl_path: pathlib.Path | str | None = None,
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -315,17 +395,14 @@ def design_sequences(
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
-    pdb_dir = pathlib.Path(pdb_dir)
     seqs_dir = pathlib.Path(output_dir) / "seqs"
     seqs_dir.mkdir(parents=True, exist_ok=True)
-    pdbs = sorted(pdb_dir.glob("*.pdb"))
-    if not pdbs:
-        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
     key = jax.random.PRNGKey(seed)
     omit_vec = jnp.asarray(aa_omit_vector(omit_aas))
     bias_vec = jnp.asarray(aa_bias_vector(bias_aa))
-    for i, pdb_path in enumerate(pdbs):
-        chains = _chains_from_pdb(pdb_path)
+    for i, (name, chains) in enumerate(iter_cases(pdb_dir, jsonl_path)):
+        if cfg.ca_only:
+            chains = _ca_only_chains(chains)
         letters_all = [int_to_chain_id(j) for j in range(len(chains))]
         designed_flags = (
             [ltr in design_chains for ltr in letters_all]
@@ -333,12 +410,11 @@ def design_sequences(
         )
         if design_chains is not None and not any(designed_flags):
             raise ToolUnavailable(
-                f"{pdb_path.stem}: none of design_chains={design_chains} "
+                f"{name}: none of design_chains={design_chains} "
                 f"present (chains: {letters_all})"
             )
         feats = mpnn.featurize_chains(chains, designed=designed_flags)
         lens = [len(seq) for seq, _ in chains]
-        name = pdb_path.stem
         res = restraints  # module alias
         cmp_arr = None
         if fixed_positions:
@@ -439,7 +515,7 @@ def design_sequences(
 
 
 def probs_backbones(
-    pdb_dir: pathlib.Path | str,
+    pdb_dir: pathlib.Path | str | None,
     output_dir: pathlib.Path | str,
     conditional: bool = False,
     backbone_only: bool = False,
@@ -448,6 +524,7 @@ def probs_backbones(
     params: dict | None = None,
     cfg: mpnn.MPNNConfig | None = None,
     weights_path: str | pathlib.Path | None = None,
+    jsonl_path: pathlib.Path | str | None = None,
 ) -> pathlib.Path:
     """The runner's --unconditional_probs_only / --conditional_probs_only
     modes (protein_mpnn_run.py:241-263): per PDB an npz with ``log_p``
@@ -461,13 +538,11 @@ def probs_backbones(
     sub = "conditional_probs_only" if conditional else "unconditional_probs_only"
     out_dir = pathlib.Path(output_dir) / sub
     out_dir.mkdir(parents=True, exist_ok=True)
-    pdb_dir = pathlib.Path(pdb_dir)
-    pdbs = sorted(pdb_dir.glob("*.pdb"))
-    if not pdbs:
-        raise ToolUnavailable(f"no .pdb files under {pdb_dir}")
     key = jax.random.PRNGKey(seed)
-    for i, pdb_path in enumerate(pdbs):
-        feats = mpnn.featurize_chains(_chains_from_pdb(pdb_path))
+    for i, (case_name, chains) in enumerate(iter_cases(pdb_dir, jsonl_path)):
+        if cfg.ca_only:
+            chains = _ca_only_chains(chains)
+        feats = mpnn.featurize_chains(chains)
         f = {k: jnp.asarray(v) for k, v in feats.items()}
         design_mask = np.asarray(feats["chain_M"] * feats["mask"])[0]
         if conditional:
@@ -489,13 +564,13 @@ def probs_backbones(
                 f["chain_encoding_all"], cfg,
             ))
         np.savez(
-            out_dir / f"{pdb_path.stem}.npz",
+            out_dir / f"{case_name}.npz",
             log_p=log_p.astype(np.float32),
             S=np.asarray(feats["S"][0]).astype(np.int64),
             mask=np.asarray(feats["mask"][0]).astype(np.float32),
             design_mask=design_mask.astype(np.float32),
         )
-        logger.info(f"{sub}: wrote {pdb_path.stem}.npz log_p{log_p.shape}")
+        logger.info(f"{sub}: wrote {case_name}.npz log_p{log_p.shape}")
     return out_dir
 
 
@@ -513,6 +588,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="Folder of .pdb backbones to design")
     p.add_argument("--pdb_path", type=str, default="",
                    help="Single PDB to design (alternative to --pdb_dir)")
+    p.add_argument("--jsonl_path", type=str, default="",
+                   help="parse_multiple_chains.py-format parsed dataset "
+                        "(the runner's StructureDataset input mode; see "
+                        "tools/mpnn_helpers.py parse-chains)")
     p.add_argument("--out_folder", type=str, required=True,
                    help="Output folder (seqs/ or score_only/ created inside)")
     p.add_argument("--weights_path", type=str,
@@ -576,8 +655,10 @@ def main(argv: list[str] | None = None) -> None:
                         "(the runner's augment_eps)")
     args = p.parse_args(argv)
 
-    if bool(args.pdb_dir) == bool(args.pdb_path):
-        p.error("give exactly one of --pdb_dir / --pdb_path")
+    if sum(map(bool, (args.pdb_dir, args.pdb_path, args.jsonl_path))) != 1:
+        p.error("give exactly one of --pdb_dir / --pdb_path / --jsonl_path")
+    jsonl_path = pathlib.Path(args.jsonl_path) if args.jsonl_path else None
+    pdb_dir = None
     if args.pdb_path:
         # Single-PDB mode: stage it alone so the directory walk sees one file.
         import shutil
@@ -585,14 +666,14 @@ def main(argv: list[str] | None = None) -> None:
         stage = pathlib.Path(tempfile.mkdtemp(prefix="mpnn_single_"))
         shutil.copy(args.pdb_path, stage)
         pdb_dir = stage
-    else:
+    elif args.pdb_dir:
         pdb_dir = pathlib.Path(args.pdb_dir)
 
     params, cfg = load_mpnn_params(args.weights_path)
     if args.score_only:
         out = score_backbones(
             pdb_dir, args.out_folder, num_scores=args.num_seq_per_target,
-            seed=args.seed, params=params, cfg=cfg,
+            seed=args.seed, params=params, cfg=cfg, jsonl_path=jsonl_path,
         )
     elif args.conditional_probs_only or args.unconditional_probs_only:
         out = probs_backbones(
@@ -600,7 +681,7 @@ def main(argv: list[str] | None = None) -> None:
             conditional=args.conditional_probs_only,
             backbone_only=args.conditional_probs_only_backbone,
             num_repeats=args.num_seq_per_target, seed=args.seed,
-            params=params, cfg=cfg,
+            params=params, cfg=cfg, jsonl_path=jsonl_path,
         )
     else:
         bias = (
@@ -643,6 +724,7 @@ def main(argv: list[str] | None = None) -> None:
             pssm_log_odds_flag=bool(args.pssm_log_odds_flag),
             pssm_bias_flag=bool(args.pssm_bias_flag),
             backbone_noise=args.backbone_noise,
+            jsonl_path=jsonl_path,
         )
     print(out)
 

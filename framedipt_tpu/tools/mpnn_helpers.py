@@ -21,6 +21,9 @@ Covered generators (reference file -> subcommand):
   hard-codes its chains/positions as an editable example; this is the
   parameterized form: --chain/--positions/--AA_list/--bias)
 - assign_fixed_chains.py -> ``assign-chains``
+- parse_multiple_chains.py -> ``parse-chains`` (PDBs -> the parsed
+  jsonl dataset consumed by mpnn_design --jsonl_path; numbering gaps
+  become '-' residues with NaN coords, as upstream)
 
 List-argument grammar matches the reference: space-separated within a
 chain, comma-separated between chains ("1 2 4, 3 5").
@@ -47,6 +50,54 @@ def chain_lengths_from_pdb(pdb_path: str | pathlib.Path) -> dict[str, int]:
     for cid in sorted(np.unique(prot.chain_index)):
         out[int_to_chain_id(int(cid))] = int((prot.chain_index == cid).sum())
     return out
+
+
+# Backbone atom37 indices (N, CA, C, O) and aatype -> letter, resolved
+# lazily to keep module import light.
+def parse_pdb_entry(
+    pdb_path: str | pathlib.Path, ca_only: bool = False
+) -> dict:
+    """PDB -> one parse_multiple_chains.py jsonl entry
+    (parse_multiple_chains.py:113-146): ``seq_chain_{L}`` strings,
+    ``coords_chain_{L}`` dicts of per-atom [L,3] lists (NaN where the
+    atom is missing), ``name``/``num_of_chains``/``seq``. Numbering gaps
+    become '-' residues with NaN coords, as upstream."""
+    from framedipt_tpu.data import constants as rc
+
+    atom_names = ("CA",) if ca_only else ("N", "CA", "C", "O")
+    atom_idx = [rc.atom_order[a] for a in atom_names]
+    prot = from_pdb_string(pathlib.Path(pdb_path).read_text())
+    entry: dict = {}
+    concat_seq = ""
+    n_chains = 0
+    for cid in sorted(np.unique(prot.chain_index)):
+        ltr = int_to_chain_id(int(cid))
+        sel = np.where(prot.chain_index == cid)[0]
+        res_num = prot.residue_index[sel]
+        length = int(res_num[-1] - res_num[0] + 1)
+        xyz = np.full((length, len(atom_idx), 3), np.nan)
+        seq_chars = ["-"] * length
+        for row, num, aa in zip(sel, res_num, prot.aatype[sel]):
+            j = int(num - res_num[0])
+            seq_chars[j] = (
+                rc.restypes[aa] if aa < len(rc.restypes) else "X"
+            )
+            have = prot.atom_mask[row, atom_idx] > 0.5
+            coords = prot.atom_positions[row, atom_idx].copy()
+            coords[~have] = np.nan
+            xyz[j] = coords
+        seq = "".join(seq_chars)
+        entry[f"seq_chain_{ltr}"] = seq
+        entry[f"coords_chain_{ltr}"] = {
+            f"{a}_chain_{ltr}": xyz[:, k, :].tolist()
+            for k, a in enumerate(atom_names)
+        }
+        concat_seq += seq
+        n_chains += 1
+    entry["name"] = pathlib.Path(pdb_path).stem
+    entry["num_of_chains"] = n_chains
+    entry["seq"] = concat_seq
+    return entry
 
 
 def _pdbs(pdb_dir: str, pdb_path: str) -> list[pathlib.Path]:
@@ -204,7 +255,22 @@ def main(argv: list[str] | None = None) -> None:
     ac.add_argument("--chain_list", type=str, required=True,
                     help="chains to design; the rest are fixed")
 
+    pc = sub.add_parser("parse-chains",
+                        help="parse_multiple_chains equivalent: PDBs -> "
+                             "parsed jsonl dataset (--jsonl_path input "
+                             "for mpnn_design)")
+    pc.add_argument("--ca_only", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "parse-chains":  # one entry per line, not name-keyed
+        lines = [
+            json.dumps(parse_pdb_entry(pdb, ca_only=args.ca_only))
+            for pdb in _pdbs(args.pdb_dir, args.pdb_path)
+        ]
+        pathlib.Path(args.output_path).write_text("\n".join(lines) + "\n")
+        print(args.output_path)
+        return
 
     if args.cmd == "bias-aa":  # structure-independent
         aas = args.AA_list.split()
