@@ -24,6 +24,13 @@ Covered generators (reference file -> subcommand):
 - parse_multiple_chains.py -> ``parse-chains`` (PDBs -> the parsed
   jsonl dataset consumed by mpnn_design --jsonl_path; numbering gaps
   become '-' residues with NaN coords, as upstream)
+- other_tools/make_omit_AA.py -> ``omit-aa`` (the reference script
+  hard-codes its position groups as an editable example; this is the
+  parameterized form: --chain/--position_list/--AA_list groups)
+- other_tools/make_pssm_dict.py -> ``pssm`` (same .pssm text parse —
+  skip 2 header lines, drop each line's first 4 chars, split floats —
+  input-alphabet -> MPNN-alphabet permutation, bias =
+  softmax(log_odds - X_mask*1e8, T))
 
 List-argument grammar matches the reference: space-separated within a
 chain, comma-separated between chains ("1 2 4, 3 5").
@@ -205,6 +212,90 @@ def make_bias_per_res(
     return out
 
 
+def make_omit_aa(
+    chains: dict[str, int], chain: str,
+    position_groups: list[list[int]], aa_groups: list[str],
+) -> dict[str, list]:
+    """Parameterized make_omit_AA.py: per-position forbidden-letter
+    groups [[positions], "LETTERS"] on ``chain``; every other chain gets
+    [] (the consumer, omit_aa_mask_from_dict, reads the same format the
+    reference example emits — make_omit_AA.py:17-29)."""
+    if len(position_groups) != len(aa_groups):
+        raise SystemExit("--position_list groups != --AA_list groups")
+    if chain not in chains:
+        raise SystemExit(f"chain {chain!r} not in structure ({chains})")
+    ln = chains[chain]
+    for positions in position_groups:
+        bad = [p for p in positions if not 1 <= p <= ln]
+        if bad:
+            raise SystemExit(
+                f"omit-aa positions {bad} out of range for chain "
+                f"{chain!r} (length {ln})"
+            )
+    out: dict[str, list] = {ltr: [] for ltr in chains}
+    out[chain] = [
+        [positions, aas]
+        for positions, aas in zip(position_groups, aa_groups)
+    ]
+    return out
+
+
+# make_pssm_dict.py's alphabets: .pssm columns arrive in the standard
+# substitution-matrix residue order and are permuted into the MPNN
+# 21-letter alphabet (X column left empty).
+PSSM_INPUT_ALPHABET = "ARNDCQEGHILKMFPSTWYV"
+
+
+def parse_pssm_file(path: str | pathlib.Path) -> np.ndarray:
+    """make_pssm_dict.py:14-25's .pssm text parse: skip 2 header lines,
+    drop each remaining line's first 4 characters, split the rest into
+    floats -> [L, >=40] (cols 0:20 log-odds, 20:40 probabilities, both
+    in PSSM_INPUT_ALPHABET order)."""
+    lines = pathlib.Path(path).read_text().splitlines()[2:]
+    rows = []
+    for line in lines:
+        if not line.strip():
+            continue
+        vals = [float(tok) for tok in line[4:].split()]
+        if len(vals) < 40:
+            raise SystemExit(
+                f"{path}: pssm row has {len(vals)} columns, need >=40"
+            )
+        rows.append(vals[:40])
+    if not rows:
+        raise SystemExit(f"{path}: no pssm rows after the 2 header lines")
+    return np.asarray(rows, np.float64)
+
+
+def make_pssm_entry(
+    pssm_rows: np.ndarray, length: int,
+    coef: float = 1.0, temperature: float = 1.0,
+) -> dict[str, list]:
+    """One chain's pssm dict (make_pssm_dict.py:28-57): permute the 20
+    input columns into the 21-letter MPNN alphabet, bias =
+    softmax(log_odds - X_mask*1e8, T) so X gets ~0 probability, coef =
+    ones * coef."""
+    if len(pssm_rows) != length:
+        raise SystemExit(
+            f"pssm has {len(pssm_rows)} rows but chain has "
+            f"{length} residues"
+        )
+    perm = np.zeros((20, len(ALPHABET)))
+    for i, letter in enumerate(PSSM_INPUT_ALPHABET):
+        perm[i, ALPHABET.index(letter)] = 1.0
+    log_odds = pssm_rows[:, :20] @ perm
+    x_mask = np.concatenate([np.zeros(20), np.ones(1)])
+    z = (log_odds - x_mask[None, :] * 1e8) / temperature
+    z -= z.max(axis=-1, keepdims=True)
+    e = np.exp(z)
+    bias = e / e.sum(axis=-1, keepdims=True)
+    return {
+        "pssm_coef": (np.ones(length) * coef).tolist(),
+        "pssm_bias": bias.tolist(),
+        "pssm_log_odds": log_odds.tolist(),
+    }
+
+
 def _write(path: str, obj: dict) -> None:
     pathlib.Path(path).write_text(json.dumps(obj) + "\n")
     print(path)
@@ -254,6 +345,26 @@ def main(argv: list[str] | None = None) -> None:
                         help="assign_fixed_chains equivalent")
     ac.add_argument("--chain_list", type=str, required=True,
                     help="chains to design; the rest are fixed")
+
+    oa = sub.add_parser("omit-aa",
+                        help="make_omit_AA (parameterized): per-position "
+                             "forbidden letters on one chain")
+    oa.add_argument("--chain", type=str, required=True)
+    oa.add_argument("--position_list", type=str, required=True,
+                    help="1-based position groups, e.g. '1 2 3, 40 41'")
+    oa.add_argument("--AA_list", type=str, required=True,
+                    help="forbidden letters per group, e.g. 'GPL WC'")
+
+    ps = sub.add_parser("pssm",
+                        help="make_pssm_dict equivalent: .pssm file -> "
+                             "--pssm_jsonl input")
+    ps.add_argument("--pssm_path", type=str, required=True)
+    ps.add_argument("--chains", type=str, default="",
+                    help="chains the pssm applies to (default: all)")
+    ps.add_argument("--coef", type=float, default=1.0,
+                    help="pssm_coef value (attention weight 0..1)")
+    ps.add_argument("--temperature", type=float, default=1.0,
+                    help="softmax temperature for pssm_bias")
 
     pc = sub.add_parser("parse-chains",
                         help="parse_multiple_chains equivalent: PDBs -> "
@@ -312,6 +423,22 @@ def main(argv: list[str] | None = None) -> None:
                 chains, args.chain, [int(x) for x in args.positions.split()],
                 args.AA_list.split(), args.bias,
             )
+        elif args.cmd == "omit-aa":
+            my_dict[name] = make_omit_aa(
+                chains, args.chain,
+                _split_positions(args.position_list),
+                args.AA_list.split(),
+            )
+        elif args.cmd == "pssm":
+            rows = parse_pssm_file(args.pssm_path)
+            apply_to = args.chains.split() or list(chains)
+            my_dict[name] = {
+                ltr: make_pssm_entry(
+                    rows, chains[ltr],
+                    coef=args.coef, temperature=args.temperature,
+                )
+                for ltr in apply_to
+            }
         elif args.cmd == "assign-chains":
             designed = args.chain_list.split()
             fixed = [ltr for ltr in chains if ltr not in designed]

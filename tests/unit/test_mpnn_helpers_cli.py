@@ -159,3 +159,101 @@ def test_requires_one_input(tmp_path):
             "--output_path", str(tmp_path / "x.jsonl"),
             "fixed-positions", "--chain_list", "A", "--position_list", "1",
         ])
+
+
+def test_omit_aa_cli(pdb, tmp_path):
+    """other_tools/make_omit_AA.py format: {name: {chain: [[[pos], "AAS"],
+    ...]}} — group grammar, empty lists for unlisted chains, and the
+    consumer's mask round-trip."""
+    out = tmp_path / "omit.jsonl"
+    mpnn_helpers.main([
+        "--pdb_path", str(pdb), "--output_path", str(out),
+        "omit-aa", "--chain", "A",
+        "--position_list", "1 2 3, 7 8", "--AA_list", "GPL WC",
+    ])
+    d = json.loads(out.read_text())
+    assert d == {"case": {
+        "A": [[[1, 2, 3], "GPL"], [[7, 8], "WC"]], "B": [],
+    }}
+    m = mpnn_restraints.omit_aa_mask_from_dict(
+        mpnn_restraints.resolve_name(d, "case"), ["A", "B"], [14, 10]
+    )
+    g = mpnn_helpers.ALPHABET.index("G")
+    w = mpnn_helpers.ALPHABET.index("W")
+    assert m[0, 0, g] == 1.0 and m[0, 6, w] == 1.0 and m[0, 6, g] == 0.0
+    assert m.sum() == 3 * 3 + 2 * 2
+
+
+def test_omit_aa_validation(pdb, tmp_path):
+    out = tmp_path / "omit.jsonl"
+    for bad in (
+        ["--chain", "Z", "--position_list", "1", "--AA_list", "G"],
+        ["--chain", "A", "--position_list", "99", "--AA_list", "G"],
+        ["--chain", "A", "--position_list", "1, 2", "--AA_list", "G"],
+    ):
+        with pytest.raises(SystemExit):
+            mpnn_helpers.main([
+                "--pdb_path", str(pdb), "--output_path", str(out),
+                "omit-aa", *bad,
+            ])
+
+
+def _write_pssm(path, n_rows, rng):
+    """A .pssm text file in the layout make_pssm_dict.py:14-25 parses:
+    2 header lines, then per row 4 junk chars + >=40 floats."""
+    log_odds = rng.standard_normal((n_rows, 20)).round(3)
+    probs = rng.random((n_rows, 20)).round(3)
+    lines = ["# pssm", "# header"]
+    for i in range(n_rows):
+        vals = " ".join(str(v) for v in (*log_odds[i], *probs[i]))
+        lines.append(f"{i:>3d} {vals}")
+    path.write_text("\n".join(lines) + "\n")
+    return log_odds
+
+
+def test_pssm_cli_roundtrip(pdb, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pssm_path = tmp_path / "chain.pssm"
+    log_odds = _write_pssm(pssm_path, 14, rng)
+    out = tmp_path / "pssm.jsonl"
+    mpnn_helpers.main([
+        "--pdb_path", str(pdb), "--output_path", str(out),
+        "pssm", "--pssm_path", str(pssm_path), "--chains", "A",
+        "--coef", "0.8",
+    ])
+    d = json.loads(out.read_text())["case"]
+    assert set(d) == {"A"}
+    entry = d["A"]
+    bias = np.asarray(entry["pssm_bias"])
+    assert bias.shape == (14, 21)
+    # rows are distributions with the X column ~0 (the -1e8 mask)
+    np.testing.assert_allclose(bias.sum(-1), 1.0, atol=1e-6)
+    x_col = mpnn_helpers.ALPHABET.index("X")
+    assert bias[:, x_col].max() == 0.0
+    # log-odds survive the alphabet permutation: input col 0 ('A'
+    # in ARND...) lands on the MPNN alphabet's A column
+    lo = np.asarray(entry["pssm_log_odds"])
+    np.testing.assert_allclose(lo[:, mpnn_helpers.ALPHABET.index("A")],
+                               log_odds[:, 0], atol=1e-9)
+    np.testing.assert_allclose(lo[:, x_col], 0.0)
+    assert entry["pssm_coef"] == [0.8] * 14
+    # consumer round-trip: chain B (no entry) gets coef 0 / mask all-True
+    coef, b, mask = mpnn_restraints.pssm_tensors_from_dict(
+        mpnn_restraints.resolve_name(d, "case"), ["A", "B"], [14, 10]
+    )
+    assert coef[0, :14].min() == np.float32(0.8) and coef[0, 14:].max() == 0.0
+    assert mask[0, 14:].all()
+
+
+def test_pssm_length_mismatch_fails_loud(pdb, tmp_path):
+    import numpy as np
+
+    pssm_path = tmp_path / "short.pssm"
+    _write_pssm(pssm_path, 5, np.random.default_rng(1))
+    with pytest.raises(SystemExit):
+        mpnn_helpers.main([
+            "--pdb_path", str(pdb), "--output_path", str(tmp_path / "o"),
+            "pssm", "--pssm_path", str(pssm_path), "--chains", "A",
+        ])
