@@ -343,7 +343,7 @@ def design_sequences(
     pdb_dir: pathlib.Path | str | None,
     output_dir: pathlib.Path | str,
     num_seq_per_target: int = 8,
-    sampling_temp: float = 0.1,
+    sampling_temp: float | str | list[float] = 0.1,
     seed: int = 38,
     params: dict | None = None,
     cfg: mpnn.MPNNConfig | None = None,
@@ -365,6 +365,9 @@ def design_sequences(
     pssm_bias_flag: bool = False,
     backbone_noise: float = 0.0,
     jsonl_path: pathlib.Path | str | None = None,
+    batch_size: int | None = None,
+    max_length: int | None = None,
+    model_name: str = "v_48_020",
 ) -> pathlib.Path:
     """Design sequences for every ``*.pdb`` under pdb_dir (reference
     default invocation: num_seq_per_target from config, temp 0.1, seed 38
@@ -391,10 +394,45 @@ def design_sequences(
     with ``tie_chains``), ``pssm_dict`` + the four pssm knobs
     (--pssm_jsonl / _multi / _threshold / _log_odds_flag / _bias_flag,
     protein_mpnn_run.py:220,291), and ``backbone_noise`` (the runner's
-    --backbone_noise augment_eps, gaussian on input coords)."""
+    --backbone_noise augment_eps, gaussian on input coords).
+
+    ``sampling_temp`` accepts the runner's multi-temperature string
+    ("0.2 0.25 0.5"): each temperature generates num_seq_per_target
+    sequences, sample numbering restarting per temperature and the
+    score/probs sidecars concatenating across temperatures
+    (protein_mpnn_run.py:54,287-367). ``batch_size`` chunks each
+    temperature's samples reference-style (NUM_BATCHES =
+    num_seq_per_target // batch_size, run.py:52 — the floor division
+    drops a remainder, kept for parity but logged); the default (None)
+    samples all of them as ONE batched call, which is the TPU-right
+    shape. ``max_length`` skips structures longer than it (the runner's
+    StructureDataset filter, run.py:116)."""
     if params is None:
         params, cfg = load_mpnn_params(weights_path or "weights/mpnn/v_48_020.pt")
     assert cfg is not None
+    if isinstance(sampling_temp, str):
+        temps = [float(t) for t in sampling_temp.split()]
+    elif isinstance(sampling_temp, (list, tuple)):
+        temps = [float(t) for t in sampling_temp]
+    else:
+        temps = [float(sampling_temp)]
+    if batch_size is None:
+        batch_sizes = [num_seq_per_target]
+    else:
+        n_batches = num_seq_per_target // batch_size
+        if n_batches == 0:
+            raise ToolUnavailable(
+                f"batch_size {batch_size} > num_seq_per_target "
+                f"{num_seq_per_target}: zero batches"
+            )
+        if n_batches * batch_size != num_seq_per_target:
+            logger.warning(
+                f"num_seq_per_target {num_seq_per_target} is not a "
+                f"multiple of batch_size {batch_size}: generating "
+                f"{n_batches * batch_size} per temperature (the "
+                f"reference's floor division, protein_mpnn_run.py:52)"
+            )
+        batch_sizes = [batch_size] * n_batches
     seqs_dir = pathlib.Path(output_dir) / "seqs"
     seqs_dir.mkdir(parents=True, exist_ok=True)
     key = jax.random.PRNGKey(seed)
@@ -403,6 +441,14 @@ def design_sequences(
     for i, (name, chains) in enumerate(iter_cases(pdb_dir, jsonl_path)):
         if cfg.ca_only:
             chains = _ca_only_chains(chains)
+        if max_length is not None:
+            total = sum(len(seq) for seq, _ in chains)
+            if total > max_length:
+                logger.info(
+                    f"skipping {name}: length {total} > max_length "
+                    f"{max_length} (StructureDataset filter)"
+                )
+                continue
         letters_all = [int_to_chain_id(j) for j in range(len(chains))]
         designed_flags = (
             [ltr in design_chains for ltr in letters_all]
@@ -458,57 +504,82 @@ def design_sequences(
                 jax.random.fold_in(jax.random.fold_in(key, i), 7),
                 f["X"].shape,
             ) * f["mask"][..., None, None]
-        out = _design_batch(
-            params, jax.random.fold_in(key, i),
-            f, cfg, num_seq_per_target, float(sampling_temp),
-            omit_aas=omit_vec, bias_aas=bias_vec,
-            tied_pos=tied_pos, chain_m_pos=cmp_arr,
-            omit_aa_mask=omit_mask_arr, bias_by_res=bias_res_arr,
-            tied_beta=tied_beta_arr, **pssm_kwargs,
-        )
-        out = {k: np.asarray(v) for k, v in out.items()}
         letters = letters_all
         des = [ltr for ltr, d in zip(letters, designed_flags) if d]
         fixed = [ltr for ltr, d in zip(letters, designed_flags) if not d]
-        lines = [
-            ">{}, score={:.4f}, global_score={:.4f}, fixed_chains={}, "
-            "designed_chains={}, model_name=v_48_020, seed={}".format(
-                name, float(out["native_score"][0]),
-                float(out["native_global_score"][0]), fixed, des, seed,
-            ),
-            _seq_str(feats["S"][0], lens),
-        ]
-        for j in range(num_seq_per_target):
-            lines.append(
-                ">T={}, sample={}, score={:.4f}, global_score={:.4f}, "
-                "seq_recovery={:.4f}".format(
-                    sampling_temp, j + 1, float(out["score"][j]),
-                    float(out["global_score"][j]), float(out["recovery"][j]),
+        key_case = jax.random.fold_in(key, i)
+        lines: list[str] = []
+        acc: dict[str, list[np.ndarray]] = {
+            k: [] for k in ("score", "global_score", "probs",
+                            "log_probs", "S", "mask_for_loss")
+        }
+        n_written = 0
+        for ti, temp in enumerate(temps):
+            for j, bs in enumerate(batch_sizes):
+                # first (temp, batch) reuses the pre-multi-temp key so
+                # single-temp single-batch outputs are unchanged
+                k_batch = (
+                    key_case if ti == 0 and j == 0
+                    else jax.random.fold_in(key_case, 7919 * ti + j)
                 )
-            )
-            lines.append(_seq_str(out["S"][j], lens))
+                out = _design_batch(
+                    params, k_batch, f, cfg, bs, float(temp),
+                    omit_aas=omit_vec, bias_aas=bias_vec,
+                    tied_pos=tied_pos, chain_m_pos=cmp_arr,
+                    omit_aa_mask=omit_mask_arr, bias_by_res=bias_res_arr,
+                    tied_beta=tied_beta_arr, **pssm_kwargs,
+                )
+                out = {k2: np.asarray(v) for k2, v in out.items()}
+                if not lines:  # native header once, first batch's score
+                    lines = [
+                        ">{}, score={:.4f}, global_score={:.4f}, "
+                        "fixed_chains={}, designed_chains={}, {}={}, "
+                        "seed={}".format(
+                            name, float(out["native_score"][0]),
+                            float(out["native_global_score"][0]), fixed,
+                            des,
+                            "CA_model_name" if cfg.ca_only
+                            else "model_name",
+                            model_name, seed,
+                        ),
+                        _seq_str(feats["S"][0], lens),
+                    ]
+                for b in range(bs):
+                    lines.append(
+                        ">T={}, sample={}, score={:.4f}, "
+                        "global_score={:.4f}, seq_recovery={:.4f}".format(
+                            temp, j * bs + b + 1, float(out["score"][b]),
+                            float(out["global_score"][b]),
+                            float(out["recovery"][b]),
+                        )
+                    )
+                    lines.append(_seq_str(out["S"][b], lens))
+                    n_written += 1
+                for k2 in acc:
+                    acc[k2].append(out[k2])
         (seqs_dir / f"{name}.fa").write_text("\n".join(lines) + "\n")
+        cat = {k2: np.concatenate(v, axis=0) for k2, v in acc.items()}
         if save_score:
             sc_dir = pathlib.Path(output_dir) / "scores"
             sc_dir.mkdir(parents=True, exist_ok=True)
             np.savez(
                 sc_dir / f"{name}.npz",
-                score=out["score"].astype(np.float32),
-                global_score=out["global_score"].astype(np.float32),
+                score=cat["score"].astype(np.float32),
+                global_score=cat["global_score"].astype(np.float32),
             )
         if save_probs:
             pr_dir = pathlib.Path(output_dir) / "probs"
             pr_dir.mkdir(parents=True, exist_ok=True)
             np.savez(
                 pr_dir / f"{name}.npz",
-                probs=out["probs"].astype(np.float32),
-                log_probs=out["log_probs"].astype(np.float32),
-                S=out["S"].astype(np.int64),
-                mask=out["mask_for_loss"].astype(np.float32),
+                probs=cat["probs"].astype(np.float32),
+                log_probs=cat["log_probs"].astype(np.float32),
+                S=cat["S"].astype(np.int64),
+                mask=cat["mask_for_loss"].astype(np.float32),
                 chain_order=np.array(letters),
             )
         logger.info(
-            f"designed {num_seq_per_target} sequences for {name} "
+            f"designed {n_written} sequences for {name} "
             f"(L={sum(lens)}, chains={letters})"
         )
     return seqs_dir
@@ -597,9 +668,32 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--weights_path", type=str,
                    default="weights/mpnn/v_48_020.pt",
                    help=".pt or converted .npz MPNN checkpoint")
+    p.add_argument("--path_to_model_weights", type=str, default="",
+                   help="Folder holding {model_name}.pt/.npz checkpoints "
+                        "(the runner's flag; overrides --weights_path)")
+    p.add_argument("--model_name", type=str, default="",
+                   help="Checkpoint name inside --path_to_model_weights, "
+                        "e.g. v_48_020, v_48_002; also stamped into the "
+                        "fasta header")
+    p.add_argument("--ca_only", action="store_true",
+                   help="Require a CA-only checkpoint (the runner routes "
+                        "to ca_model_weights/; here the checkpoint config "
+                        "decides and this flag asserts it)")
+    p.add_argument("--pdb_path_chains", type=str, default="",
+                   help="With --pdb_path: space-separated chains to "
+                        "design (alias of --design_chains, the runner's "
+                        "flag)")
     p.add_argument("--num_seq_per_target", type=int, default=8)
-    p.add_argument("--sampling_temp", type=float, default=0.1)
-    p.add_argument("--seed", type=int, default=38)
+    p.add_argument("--sampling_temp", type=str, default="0.1",
+                   help="One or more temperatures, e.g. '0.2 0.25 0.5' — "
+                        "num_seq_per_target sequences per temperature")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="Samples per sampling call; 0 (default) batches "
+                        "all num_seq_per_target in ONE call (TPU-optimal)")
+    p.add_argument("--max_length", type=int, default=200000,
+                   help="Skip structures longer than this")
+    p.add_argument("--seed", type=int, default=38,
+                   help="0 picks a random seed (reference behavior)")
     p.add_argument("--score_only", action="store_true",
                    help="Score native backbone-sequence pairs instead of "
                         "designing (writes score_only/{name}.npz)")
@@ -657,6 +751,8 @@ def main(argv: list[str] | None = None) -> None:
 
     if sum(map(bool, (args.pdb_dir, args.pdb_path, args.jsonl_path))) != 1:
         p.error("give exactly one of --pdb_dir / --pdb_path / --jsonl_path")
+    if args.pdb_path_chains and not args.pdb_path:
+        p.error("--pdb_path_chains needs --pdb_path")
     jsonl_path = pathlib.Path(args.jsonl_path) if args.jsonl_path else None
     pdb_dir = None
     if args.pdb_path:
@@ -669,7 +765,33 @@ def main(argv: list[str] | None = None) -> None:
     elif args.pdb_dir:
         pdb_dir = pathlib.Path(args.pdb_dir)
 
-    params, cfg = load_mpnn_params(args.weights_path)
+    if args.seed == 0:  # the runner picks a random seed for 0 (run.py:47-50)
+        import random as _random
+        args.seed = _random.randint(1, 999)
+        logger.info(f"seed 0 -> random seed {args.seed}")
+    weights = pathlib.Path(args.weights_path)
+    if args.path_to_model_weights:
+        folder = pathlib.Path(args.path_to_model_weights)
+        name = args.model_name or "v_48_020"
+        for ext in (".npz", ".pt"):
+            if (folder / f"{name}{ext}").exists():
+                weights = folder / f"{name}{ext}"
+                break
+        else:
+            raise ToolUnavailable(
+                f"no {name}.npz/.pt under {folder}"
+            )
+    params, cfg = load_mpnn_params(weights)
+    if args.ca_only and not cfg.ca_only:
+        raise ToolUnavailable(
+            f"--ca_only given but {weights} is a full-backbone checkpoint "
+            "(pass a ca_model_weights/ checkpoint)"
+        )
+    model_name = args.model_name or weights.stem
+    batch_size = args.batch_size or None
+    design_chains = [
+        c.strip() for c in args.design_chains.split(",") if c.strip()
+    ] or args.pdb_path_chains.split() or None
     if args.score_only:
         out = score_backbones(
             pdb_dir, args.out_folder, num_scores=args.num_seq_per_target,
@@ -695,10 +817,7 @@ def main(argv: list[str] | None = None) -> None:
             params=params, cfg=cfg, omit_aas=args.omit_AAs, bias_aa=bias,
             save_score=args.save_score, save_probs=args.save_probs,
             tie_chains=args.tie_chains,
-            design_chains=(
-                [c.strip() for c in args.design_chains.split(",") if c.strip()]
-                or None
-            ),
+            design_chains=design_chains,
             fixed_positions=(
                 restraints.load_jsonl(args.fixed_positions_jsonl)
                 if args.fixed_positions_jsonl else None
@@ -725,6 +844,9 @@ def main(argv: list[str] | None = None) -> None:
             pssm_bias_flag=bool(args.pssm_bias_flag),
             backbone_noise=args.backbone_noise,
             jsonl_path=jsonl_path,
+            batch_size=batch_size,
+            max_length=args.max_length,
+            model_name=model_name,
         )
     print(out)
 
