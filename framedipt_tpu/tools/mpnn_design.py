@@ -354,6 +354,7 @@ def design_sequences(
     save_probs: bool = False,
     tie_chains: bool = False,
     design_chains: list[str] | None = None,
+    chain_id_dict: dict | None = None,
     fixed_positions: dict[str, list[int]] | None = None,
     omit_aa_dict: dict | None = None,
     bias_by_res_dict: dict | None = None,
@@ -381,7 +382,12 @@ def design_sequences(
     tied across every chain (tied_sample + the homomer pattern of
     helper_scripts/make_tied_positions_dict.py). ``design_chains``
     restricts design to the named chains, the rest stay fixed at their
-    native sequence (the --chain_id_jsonl designed/fixed split).
+    native sequence (the global --pdb_path_chains form of the
+    designed/fixed split); ``chain_id_dict`` is the per-PDB form — the
+    --chain_id_jsonl contract ``{name: [designed_chains, fixed_chains]}``
+    written by helper_scripts/assign_fixed_chains.py. It takes precedence
+    over ``design_chains``, and a name absent from the dict is a loud
+    error (the reference KeyErrors there too, protein_mpnn_utils.py:199).
     ``fixed_positions`` maps chain letter -> 1-based residue positions to
     keep native within a designed chain (the --fixed_positions_jsonl
     contract, helper_scripts/make_fixed_positions_dict.py).
@@ -450,13 +456,23 @@ def design_sequences(
                 )
                 continue
         letters_all = [int_to_chain_id(j) for j in range(len(chains))]
+        case_design = design_chains
+        if chain_id_dict is not None:
+            inner = chain_id_dict.get(name)
+            if inner is None:
+                raise ToolUnavailable(
+                    f"{name} missing from chain_id_dict (the reference's "
+                    "tied_featurize KeyErrors on a missing name too, "
+                    "protein_mpnn_utils.py:199)"
+                )
+            case_design = [str(c) for c in inner[0]]
         designed_flags = (
-            [ltr in design_chains for ltr in letters_all]
-            if design_chains is not None else [True] * len(chains)
+            [ltr in case_design for ltr in letters_all]
+            if case_design is not None else [True] * len(chains)
         )
-        if design_chains is not None and not any(designed_flags):
+        if case_design is not None and not any(designed_flags):
             raise ToolUnavailable(
-                f"{name}: none of design_chains={design_chains} "
+                f"{name}: none of designed chains {case_design} "
                 f"present (chains: {letters_all})"
             )
         feats = mpnn.featurize_chains(chains, designed=designed_flags)
@@ -719,8 +735,13 @@ def main(argv: list[str] | None = None) -> None:
                         "chains (tied_sample)")
     p.add_argument("--design_chains", type=str, default="",
                    help="Comma-separated chain letters to design; others "
-                        "stay fixed (the chain_id_jsonl designed/fixed "
-                        "split), e.g. 'A,C'")
+                        "stay fixed (the global designed/fixed split), "
+                        "e.g. 'A,C'")
+    p.add_argument("--chain_id_jsonl", type=str, default="",
+                   help="Per-PDB designed/fixed split: {name: "
+                        "[[designed], [fixed]]} as written by "
+                        "assign_fixed_chains.py; overrides "
+                        "--design_chains")
     p.add_argument("--fixed_positions_jsonl", type=str, default="",
                    help="JSON file {chain: [1-based positions]} kept "
                         "native within designed chains, e.g. "
@@ -818,6 +839,10 @@ def main(argv: list[str] | None = None) -> None:
             save_score=args.save_score, save_probs=args.save_probs,
             tie_chains=args.tie_chains,
             design_chains=design_chains,
+            chain_id_dict=(
+                restraints.load_jsonl(args.chain_id_jsonl)
+                if args.chain_id_jsonl else None
+            ),
             fixed_positions=(
                 restraints.load_jsonl(args.fixed_positions_jsonl)
                 if args.fixed_positions_jsonl else None

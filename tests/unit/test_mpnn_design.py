@@ -265,6 +265,33 @@ def test_design_chains_keeps_fixed_chain_native(tmp_path, params):
         )
 
 
+def test_chain_id_dict_per_pdb_split(tmp_path, params):
+    """chain_id_dict {name: [designed, fixed]} — the --chain_id_jsonl
+    contract (assign_fixed_chains.py output, protein_mpnn_run.py:60-68).
+    Per-name it must match the equivalent global design_chains run, take
+    precedence over design_chains, and error loud on a missing name (the
+    reference KeyErrors in tied_featurize, protein_mpnn_utils.py:199)."""
+    (tmp_path / "case.pdb").write_text(_two_chain_pdb())
+    via_dict = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "d1", num_seq_per_target=2, params=params,
+        cfg=CFG, chain_id_dict={"case": [["B"], ["A"]]},
+        # design_chains says A, the per-PDB dict must win
+        design_chains=["A"],
+    )
+    via_global = mpnn_design.design_sequences(
+        tmp_path, tmp_path / "d2", num_seq_per_target=2, params=params,
+        cfg=CFG, design_chains=["B"],
+    )
+    fa1 = (via_dict / "case.fa").read_text()
+    assert fa1 == (via_global / "case.fa").read_text()
+    assert "designed_chains=['B']" in fa1
+    with pytest.raises(ToolUnavailable, match="missing from chain_id_dict"):
+        mpnn_design.design_sequences(
+            tmp_path, tmp_path / "d3", params=params, cfg=CFG,
+            chain_id_dict={"other": [["A"], []]},
+        )
+
+
 def test_fixed_positions_keep_native(tmp_path, params):
     """fixed_positions {chain: [1-based pos]} keep those residues native
     in every sample (the --fixed_positions_jsonl contract)."""
