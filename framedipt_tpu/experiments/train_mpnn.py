@@ -171,15 +171,29 @@ def train(args: argparse.Namespace) -> dict:
         k_neighbors=args.k_neighbors,
         ca_only=args.ca_only,
         augment_eps=args.backbone_noise,
+        dropout=args.dropout,
     )
     data = MPNNDataset(
         args.csv_path, args.max_length, args.min_length, args.ca_only,
         args.holdout_frac, args.seed,
     )
-    optimizer = mpnn_train.make_mpnn_optimizer(cfg)
+    optimizer = mpnn_train.make_mpnn_optimizer(
+        cfg, gradient_norm=args.gradient_norm
+    )
     state = mpnn_train.init_train_state(
         jax.random.PRNGKey(args.seed), cfg, optimizer
     )
+    if args.previous_checkpoint:
+        # Warm start (training.py --previous_checkpoint): reuse the
+        # designer's loader so .npz and .pt both work; fresh optimizer
+        # state, matching the reference's rebuilt NoamOpt.
+        from framedipt_tpu.tools.mpnn_design import load_mpnn_params
+
+        params, _ = load_mpnn_params(args.previous_checkpoint)
+        state = mpnn_train.MPNNTrainState(
+            params=params, opt_state=optimizer.init(params), step=state.step
+        )
+        logger.info(f"warm-started from {args.previous_checkpoint}")
     step_fn = mpnn_train.make_mpnn_train_step(cfg, optimizer)
     eval_fn = mpnn_train.make_mpnn_eval_step(cfg)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -248,6 +262,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--k_neighbors", type=int, default=48)
     # training.py:231 default backbone noise.
     p.add_argument("--backbone_noise", type=float, default=0.2)
+    # training.py:236 default dropout; 0 disables (eval-mode layers).
+    p.add_argument("--dropout", type=float, default=0.1)
+    # training.py:239 --gradient_norm: clip norm, negative = off.
+    p.add_argument("--gradient_norm", type=float, default=-1.0)
+    # training.py:229 --previous_checkpoint: warm-start weights (.npz here).
+    p.add_argument("--previous_checkpoint", type=str, default="")
     p.add_argument("--ca_only", action="store_true")
     p.add_argument("--holdout_frac", type=float, default=0.1)
     p.add_argument("--log_freq", type=int, default=10)

@@ -61,6 +61,9 @@ class MPNNConfig:
     scale: float = 30.0  # message-sum normalizer (EncLayer/DecLayer scale)
     augment_eps: float = 0.0  # backbone noise; 0 at inference (run.py default)
     ca_only: bool = False  # CA-only models (ca_model_weights/, --ca_only)
+    dropout: float = 0.1  # EncLayer/DecLayer residual dropout (training only;
+    # applied iff a dropout_key is threaded — eval/inference stay identity,
+    # matching torch's model.eval(). training/training.py:81 default 0.1.
 
 
 # ---------------------------------------------------------------------------
@@ -265,8 +268,24 @@ def _cat_neighbors_nodes(h_nodes, h_neighbors, e_idx):
     )
 
 
-def _enc_layer(p, h_V, h_E, e_idx, mask_V, mask_attend, scale):
-    """EncLayer.forward (utils :624-647): node message + FFN + edge update."""
+def _dropout(key, rate, x):
+    """Inverted dropout on a residual branch (the EncLayer/DecLayer
+    nn.Dropout modules, utils :605-614,:667-672). Identity when no key is
+    threaded — the torch model.eval() behavior every inference path uses."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(m, x / keep, jnp.zeros((), x.dtype))
+
+
+def _enc_layer(p, h_V, h_E, e_idx, mask_V, mask_attend, scale,
+               dropout=0.0, key=None):
+    """EncLayer.forward (utils :624-647): node message + FFN + edge update.
+    ``key`` (training only) drives dropout1/2/3 on the residual branches."""
+    k1 = k2 = k3 = None
+    if key is not None:
+        k1, k2, k3 = jax.random.split(key, 3)
     h_EV = _cat_neighbors_nodes(h_V, h_E, e_idx)
     h_EV = jnp.concatenate(
         [jnp.broadcast_to(h_V[:, :, None, :], h_EV.shape[:3] + h_V.shape[-1:]),
@@ -274,8 +293,10 @@ def _enc_layer(p, h_V, h_E, e_idx, mask_V, mask_attend, scale):
     )
     msg = _linear(p["W3"], _gelu(_linear(p["W2"], _gelu(_linear(p["W1"], h_EV)))))
     msg = msg * mask_attend[..., None]
-    h_V = _layer_norm(p["norm1"], h_V + jnp.sum(msg, axis=-2) / scale)
-    h_V = _layer_norm(p["norm2"], h_V + _ffn(p, h_V))
+    h_V = _layer_norm(
+        p["norm1"], h_V + _dropout(k1, dropout, jnp.sum(msg, axis=-2) / scale)
+    )
+    h_V = _layer_norm(p["norm2"], h_V + _dropout(k2, dropout, _ffn(p, h_V)))
     h_V = h_V * mask_V[..., None]
 
     h_EV = _cat_neighbors_nodes(h_V, h_E, e_idx)
@@ -286,21 +307,26 @@ def _enc_layer(p, h_V, h_E, e_idx, mask_V, mask_attend, scale):
     msg = _linear(
         p["W13"], _gelu(_linear(p["W12"], _gelu(_linear(p["W11"], h_EV))))
     )
-    h_E = _layer_norm(p["norm3"], h_E + msg)
+    h_E = _layer_norm(p["norm3"], h_E + _dropout(k3, dropout, msg))
     return h_V, h_E
 
 
-def _dec_layer(p, h_V, h_ESV, mask_V, scale):
+def _dec_layer(p, h_V, h_ESV, mask_V, scale, dropout=0.0, key=None):
     """DecLayer.forward (utils :667-688). Shapes: h_V [..., H],
     h_ESV [..., K, 3H]; works for the full [B,L,...] pass and the
     single-position [B,1,...] pass inside the sampling scan."""
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
     h_V_expand = jnp.broadcast_to(
         h_V[..., None, :], h_ESV.shape[:-1] + h_V.shape[-1:]
     )
     h_EV = jnp.concatenate([h_V_expand, h_ESV], axis=-1)
     msg = _linear(p["W3"], _gelu(_linear(p["W2"], _gelu(_linear(p["W1"], h_EV)))))
-    h_V = _layer_norm(p["norm1"], h_V + jnp.sum(msg, axis=-2) / scale)
-    h_V = _layer_norm(p["norm2"], h_V + _ffn(p, h_V))
+    h_V = _layer_norm(
+        p["norm1"], h_V + _dropout(k1, dropout, jnp.sum(msg, axis=-2) / scale)
+    )
+    h_V = _layer_norm(p["norm2"], h_V + _dropout(k2, dropout, _ffn(p, h_V)))
     return h_V * mask_V[..., None]
 
 
@@ -539,9 +565,10 @@ def mpnn_features_ca(
 
 
 def mpnn_encode(params, x, mask, residue_idx, chain_labels, cfg,
-                key=None):
+                key=None, dropout_key=None):
     """Featurize + 3 encoder layers -> (h_V, h_E, e_idx). For CA-only
-    models ``x`` may be [B,L,3] or [B,L,1,3]."""
+    models ``x`` may be [B,L,3] or [B,L,1,3]. ``dropout_key`` (training
+    only) enables cfg.dropout on every encoder residual branch."""
     if cfg.ca_only:
         ca = x[:, :, 0, :] if x.ndim == 4 else x
         e, e_idx = mpnn_features_ca(
@@ -556,8 +583,16 @@ def mpnn_encode(params, x, mask, residue_idx, chain_labels, cfg,
     mask_attend = mask[:, :, None] * _gather_nodes(
         mask[:, :, None], e_idx
     )[..., 0]
-    for p in params["encoder"]:
-        h_V, h_E = _enc_layer(p, h_V, h_E, e_idx, mask, mask_attend, cfg.scale)
+    enc_keys = (
+        list(jax.random.split(dropout_key, len(params["encoder"])))
+        if dropout_key is not None
+        else [None] * len(params["encoder"])
+    )
+    for p, k in zip(params["encoder"], enc_keys):
+        h_V, h_E = _enc_layer(
+            p, h_V, h_E, e_idx, mask, mask_attend, cfg.scale,
+            dropout=cfg.dropout, key=k,
+        )
     return h_V, h_E, e_idx
 
 
@@ -585,12 +620,18 @@ def mpnn_log_probs(
     chain_m: jax.Array, residue_idx: jax.Array, chain_labels: jax.Array,
     cfg: MPNNConfig, randn: jax.Array | None = None,
     decoding_order: jax.Array | None = None, key: jax.Array | None = None,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """Teacher-forced log-probabilities [B,L,21] (ProteinMPNN.forward,
     utils :1036-1079). Pass ``decoding_order`` for the reference's
-    use_input_decoding_order path, else ``randn`` draws the random order."""
+    use_input_decoding_order path, else ``randn`` draws the random order.
+    ``dropout_key`` (training only) enables cfg.dropout in every layer."""
+    enc_dk = dec_dk = None
+    if dropout_key is not None:
+        enc_dk, dec_dk = jax.random.split(dropout_key)
     h_V, h_E, e_idx = mpnn_encode(
-        params, x, mask, residue_idx, chain_labels, cfg, key
+        params, x, mask, residue_idx, chain_labels, cfg, key,
+        dropout_key=enc_dk,
     )
     h_S = params["W_s"][s]
     h_ES = _cat_neighbors_nodes(h_S, h_E, e_idx)
@@ -603,9 +644,15 @@ def mpnn_log_probs(
     mask_bw, mask_fw = _autoregressive_masks(decoding_order, e_idx, mask)
 
     h_EXV_fw = mask_fw * h_EXV
-    for p in params["decoder"]:
+    dec_keys = (
+        list(jax.random.split(dec_dk, len(params["decoder"])))
+        if dec_dk is not None
+        else [None] * len(params["decoder"])
+    )
+    for p, k in zip(params["decoder"], dec_keys):
         h_ESV = mask_bw * _cat_neighbors_nodes(h_V, h_ES, e_idx) + h_EXV_fw
-        h_V = _dec_layer(p, h_V, h_ESV, mask, cfg.scale)
+        h_V = _dec_layer(p, h_V, h_ESV, mask, cfg.scale,
+                         dropout=cfg.dropout, key=k)
     return jax.nn.log_softmax(_linear(params["W_out"], h_V), axis=-1)
 
 

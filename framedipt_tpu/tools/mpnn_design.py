@@ -70,11 +70,23 @@ def load_mpnn_params(
         k = int(ckpt.get("num_edges", 48))
         sd = ckpt["model_state_dict"]
     # CA-only checkpoints are identified by their edge-embedding input
-    # width (9*16+7+16 = 167 vs the vanilla 25*16+16 = 416).
+    # width (9*16+7+16 = 167 vs the vanilla 25*16+16 = 416). hidden_dim and
+    # the layer counts are read from the weights too, so checkpoints from
+    # the training CLI with non-default dims load correctly (the published
+    # v_48_* set is 128/3/3, but nothing guarantees that for local .npz).
     edge_w = np.asarray(sd["features.edge_embedding.weight"])
     ca_only = edge_w.shape[1] != 416
+    hidden = int(edge_w.shape[0])
+    n_enc = len({k.split(".")[1] for k in sd if k.startswith("encoder_layers.")})
+    n_dec = len({k.split(".")[1] for k in sd if k.startswith("decoder_layers.")})
     params = jax.tree.map(jnp.asarray, mpnn.convert_mpnn_state_dict(sd))
-    return params, mpnn.MPNNConfig(k_neighbors=k, ca_only=ca_only)
+    return params, mpnn.MPNNConfig(
+        hidden_dim=hidden,
+        num_encoder_layers=n_enc or 3,
+        num_decoder_layers=n_dec or 3,
+        k_neighbors=k,
+        ca_only=ca_only,
+    )
 
 
 def _chains_from_pdb(pdb_path: pathlib.Path) -> list[tuple[str, np.ndarray]]:

@@ -57,15 +57,21 @@ def noam_schedule(
 
 
 def make_mpnn_optimizer(
-    cfg: mpnn.MPNNConfig, factor: float = 2.0, warmup: int = 4000
+    cfg: mpnn.MPNNConfig, factor: float = 2.0, warmup: int = 4000,
+    gradient_norm: float = -1.0,
 ) -> optax.GradientTransformation:
-    """get_std_opt equivalent (model_utils.py:509-511)."""
-    return optax.adam(
+    """get_std_opt equivalent (model_utils.py:509-511). ``gradient_norm``
+    > 0 prepends clip_by_global_norm (training.py --gradient_norm,
+    default -1 = off, matching the reference)."""
+    adam = optax.adam(
         noam_schedule(cfg.hidden_dim, factor, warmup),
         b1=0.9,
         b2=0.98,
         eps=1e-9,
     )
+    if gradient_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(gradient_norm), adam)
+    return adam
 
 
 def smoothed_loss(
@@ -134,7 +140,7 @@ def make_mpnn_train_step(
     )
 
     def loss_fn(params, batch, key):
-        k_noise, k_order = jax.random.split(key)
+        k_noise, k_order, k_drop = jax.random.split(key, 3)
         randn = jax.random.normal(k_order, batch["S"].shape)
         log_probs = mpnn.mpnn_log_probs(
             params,
@@ -147,6 +153,7 @@ def make_mpnn_train_step(
             train_cfg,
             randn=randn,
             key=k_noise,
+            dropout_key=k_drop if train_cfg.dropout > 0 else None,
         )
         mask_full = batch["mask"] * batch["chain_M"]
         loss = smoothed_loss(batch["S"], log_probs, mask_full, smoothing)

@@ -344,3 +344,29 @@ def test_score_backbones_npz_contract(tmp_path, params):
     assert data["global_score"].shape == (4,)
     assert np.isfinite(data["score"]).all()
     assert np.isfinite(data["global_score"]).all()
+
+
+def test_load_params_infers_custom_dims(tmp_path):
+    """Checkpoints from the training CLI with non-default dims must load
+    at THEIR architecture, not the published 128/3/3 defaults (config is
+    read from the weights: hidden from edge_embedding rows, layer counts
+    from the state-dict key set)."""
+    import jax
+
+    from framedipt_tpu.experiments.train_mpnn import save_npz_checkpoint
+    from framedipt_tpu.model import mpnn
+
+    cfg = mpnn.MPNNConfig(
+        hidden_dim=32, num_encoder_layers=1, num_decoder_layers=2,
+        k_neighbors=8,
+    )
+    params = mpnn.init_mpnn_params(jax.random.PRNGKey(0), cfg)
+    save_npz_checkpoint(tmp_path / "w.npz", params, cfg)
+    loaded, got = mpnn_design.load_mpnn_params(tmp_path / "w.npz")
+    assert got.hidden_dim == 32
+    assert got.num_encoder_layers == 1
+    assert got.num_decoder_layers == 2
+    assert got.k_neighbors == 8
+    assert not got.ca_only
+    assert loaded["W_s"].shape == (21, 32)
+    assert len(loaded["encoder"]) == 1 and len(loaded["decoder"]) == 2

@@ -81,10 +81,16 @@ def test_train_step_learns_and_stays_finite():
     """40 steps on one synthetic two-chain batch: smoothed loss and NLL
     decrease, recovery rises above chance (1/21), nothing goes non-finite
     (the reference trains with noise + random orders — same here, so the
-    loss is stochastic; compare first-5 vs last-5 means)."""
+    loss is stochastic; compare first-5 vs last-5 means). Dropout off:
+    this test checks optimization mechanics, and 40 steps is too few to
+    overfit through the default 0.1 dropout (covered separately by
+    test_dropout_training_only_semantics)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, dropout=0.0)
     batch = _batch()
-    state = mpnn_train.init_train_state(jax.random.PRNGKey(0), CFG)
-    step = mpnn_train.make_mpnn_train_step(CFG)
+    state = mpnn_train.init_train_state(jax.random.PRNGKey(0), cfg)
+    step = mpnn_train.make_mpnn_train_step(cfg)
     key = jax.random.PRNGKey(1)
     hist = []
     for i in range(40):
@@ -156,3 +162,73 @@ def test_state_dict_export_roundtrip():
     assert "encoder_layers.0.W1.weight" in sd
     assert "features.norm_edges.bias" in sd
     assert sd["W_out.weight"].shape == (21, CFG.hidden_dim)
+
+
+def test_dropout_training_only_semantics():
+    """EncLayer/DecLayer dropout (utils :605-614): active iff a
+    dropout_key is threaded (torch train() vs eval()); deterministic
+    under a fixed key; identity at rate 0 and whenever no key is given
+    (every inference path)."""
+    b = _batch()
+    params = mpnn.init_mpnn_params(jax.random.PRNGKey(0), CFG)
+    randn = jax.random.normal(jax.random.PRNGKey(1), b["S"].shape)
+    args = (params, b["X"], b["S"], b["mask"], b["chain_M"],
+            b["residue_idx"], b["chain_encoding_all"])
+
+    base = mpnn.mpnn_log_probs(*args, CFG, randn=randn)
+    # No key -> identity regardless of cfg.dropout (inference contract).
+    assert CFG.dropout > 0
+    again = mpnn.mpnn_log_probs(*args, CFG, randn=randn)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(again))
+
+    dk = jax.random.PRNGKey(7)
+    dropped = mpnn.mpnn_log_probs(*args, CFG, randn=randn, dropout_key=dk)
+    # Dropout changes the output...
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))
+    # ...deterministically under the same key...
+    dropped2 = mpnn.mpnn_log_probs(*args, CFG, randn=randn, dropout_key=dk)
+    np.testing.assert_array_equal(np.asarray(dropped), np.asarray(dropped2))
+    # ...differently under another key...
+    dropped3 = mpnn.mpnn_log_probs(
+        *args, CFG, randn=randn, dropout_key=jax.random.PRNGKey(8)
+    )
+    assert not np.allclose(np.asarray(dropped), np.asarray(dropped3))
+    # ...and rate 0 with a key is still identity.
+    cfg0 = mpnn.MPNNConfig(
+        hidden_dim=32, num_encoder_layers=1, num_decoder_layers=1,
+        k_neighbors=8, dropout=0.0,
+    )
+    off = mpnn.mpnn_log_probs(*args, cfg0, randn=randn, dropout_key=dk)
+    base0 = mpnn.mpnn_log_probs(*args, cfg0, randn=randn)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(base0))
+
+
+def test_gradient_norm_clip_flag():
+    """--gradient_norm (training.py:239): negative = off (update equals
+    plain Noam Adam), positive = clip_by_global_norm prepended."""
+    b = _batch()
+    key = jax.random.PRNGKey(3)
+    opt_off = mpnn_train.make_mpnn_optimizer(CFG, gradient_norm=-1.0)
+    opt_clip = mpnn_train.make_mpnn_optimizer(CFG, gradient_norm=1e-6)
+    s_off = mpnn_train.init_train_state(jax.random.PRNGKey(0), CFG, opt_off)
+    s_clip = mpnn_train.init_train_state(jax.random.PRNGKey(0), CFG, opt_clip)
+    # The step donates its state arg — snapshot the initial params first.
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), s_off.params)
+    step_off = mpnn_train.make_mpnn_train_step(CFG, opt_off)
+    step_clip = mpnn_train.make_mpnn_train_step(CFG, opt_clip)
+    s_off1, m_off = step_off(s_off, b, key)
+    s_clip1, m_clip = step_clip(s_clip, b, key)
+    # Same grads either way (clip acts on the update, not the metric)...
+    np.testing.assert_allclose(
+        float(m_off["grad_norm"]), float(m_clip["grad_norm"]), rtol=1e-5
+    )
+    # ...but a tiny clip norm must shrink the applied update.
+    d_off = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, c: np.asarray(a) - c, s_off1.params, p0), 0.0,
+    )
+    d_clip = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, c: np.asarray(a) - c, s_clip1.params, p0), 0.0,
+    )
+    assert d_clip < d_off
