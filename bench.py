@@ -326,7 +326,7 @@ def bench_train_step(batch: int = 4, num_res: int = 256,
 
 def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4,
                      lo: int = 8, hi: int = 64,
-                     n_pairs: int = 12) -> dict:
+                     n_pairs: int = 20) -> dict:
     """Interleaved same-process A/B of two train variants (A,B,A,B,...),
     reporting each variant's stats PLUS the paired per-iteration delta —
     the way close calls are actually adjudicated (VERDICT r4 weak #1:
@@ -347,6 +347,15 @@ def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4,
         per_b.append(tb)
         deltas.append(batch / tb - batch / ta)  # examples/s, B minus A
     deltas.sort()
+    n = len(deltas)
+    # Sign-test adjudication alongside the median: frac_positive with an
+    # exact two-sided binomial p-value under H0 "no difference" — a CI-free
+    # statistic a reader can act on even when min/max straddle zero.
+    pos = sum(1 for d in deltas if d > 0)
+    k = min(pos, n - pos)
+    p_sign = min(1.0, 2.0 * sum(
+        _binom(n, i) for i in range(0, k + 1)
+    ) / (2.0 ** n))
     return {
         "a": _train_stats(per_a, batch),
         "b": _train_stats(per_b, batch),
@@ -354,9 +363,17 @@ def bench_train_pair(spec_a: dict, spec_b: dict, batch: int = 4,
             "median": round(statistics.median(deltas), 2),
             "min": round(deltas[0], 2),
             "max": round(deltas[-1], 2),
-            "n": len(deltas),
+            "n": n,
+            "frac_positive": round(pos / n, 2),
+            "sign_test_p": round(p_sign, 4),
         },
     }
+
+
+def _binom(n: int, k: int) -> int:
+    import math
+
+    return math.comb(n, k)
 
 
 def bench_mpnn(num_res: int = 256, num_seqs: int = 8) -> dict:

@@ -87,3 +87,20 @@ def test_headline_excludes_paired_deltas_and_errors(bench):
     # and the real bench.py source uses exactly that variant tuple
     src = open("/root/repo/bench.py").read()
     assert '("len256_f32", "len256_bf16", "len256_bf16_pallas")' in src
+
+
+def test_sign_test_adjudication_math(bench):
+    """Paired-delta sign test: exact two-sided binomial under H0. 15/20
+    positive is significant at 0.05; a 50/50 split is p=1."""
+    import math
+
+    def p_sign(n, pos):
+        k = min(pos, n - pos)
+        return min(1.0, 2.0 * sum(bench._binom(n, i) for i in range(k + 1))
+                   / 2.0 ** n)
+
+    assert bench._binom(20, 3) == math.comb(20, 3)
+    assert p_sign(20, 10) == 1.0
+    assert p_sign(20, 15) == pytest.approx(0.0414, abs=2e-3)
+    assert p_sign(20, 15) < 0.05
+    assert p_sign(20, 20) == pytest.approx(2 / 2 ** 20)
